@@ -1,0 +1,212 @@
+"""Single config tree for every experiment variant.
+
+The reference duplicates an argparse block + constructor defaults into each of
+its 8 model entry-point files (e.g. /root/reference/src/conditional_gan_concat.py:1023-1038,
+src/vanilla_gan_unconditional.py:764-773).  Here one dataclass tree + a preset
+table expresses all variants; a variant is a *config*, not a file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Literal, Optional, Sequence, Tuple
+
+VariantName = Literal[
+    "vanilla",                  # unconditional WGAN-GP      (vanilla_gan_unconditional.py)
+    "concat_text",              # text-CLS concat            (conditional_gan_concat.py, condition_type='text')
+    "concat_image",             # pooled-patch concat        (conditional_gan_concat.py, condition_type='image')
+    "attention",                # 1-query pooled attention   (conditional_gan_attention.py)
+    "img_transformer",          # patch CLS transformer      (conditional_gan_img_transformer.py)
+    "film",                     # FiLM + patch transformer   (conditional_gan_film.py)
+    "cross_attention",          # token-level bidirectional  (conditional_gan_cross_attention.py)
+    "film_cross_attention",     # full GeMM-GAN              (conditional_gan_cross_attention_with_film.py)
+    "benchmark",                # true-label conditional     (benchmark_generative_model.py)
+    "vae",                      # vanilla VAE                (vae/vanilla_vae.py)
+    "cvae",                     # conditional VAE            (vae/cvae.py)
+]
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Conditioning/fusion module configuration.
+
+    ``kind`` selects the fusion architecture (reference: one architecture per
+    file, see SURVEY.md §2.3). All fusion modules map the conditioning inputs
+    to a single ``cond_dim`` vector per sample.
+    """
+
+    kind: str = "none"  # none|concat|attention|img_transformer|film|xattn|film_xattn|labels
+    condition_type: str = "text"  # for concat: text|image
+    cond_dim: int = 256
+    text_dim: int = 768
+    patch_dim: int = 1024
+    num_heads: int = 4
+    ff_dim: int = 512
+    num_layers: int = 2
+    dropout: float = 0.1
+    max_patches: int = 256
+    max_tokens: int = 300
+    # label-conditional (benchmark GAN / CVAE) vocab sizes; 128-d each
+    # (reference: benchmark_generative_model.py:27-35,119-120)
+    label_embed_dim: int = 128
+    n_disease_types: int = 0
+    n_primary_sites: int = 0
+    # FiLM beta clamp (reference: conditional_gan_film.py:132-133 clamps ±5)
+    film_beta_clamp: float = 5.0
+    # use the Pallas fused masked-attention kernel on TPU
+    use_pallas: bool = True
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    n_genes: int = 18868
+    latent_dim: int = 256
+    gen_dims: Tuple[int, ...] = (256, 256)
+    disc_dims: Tuple[int, ...] = (256, 256)
+    negative_slope: float = 0.0
+    use_batchnorm: bool = False
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    # numerics: params always f32; trunk/fusion matmuls may run bf16
+    compute_dtype: str = "float32"
+    # VAE family
+    vae_latent_dim: int = 64
+    vae_encoder_dims: Tuple[int, ...] = (256, 256)
+    vae_decoder_dims: Tuple[int, ...] = (256, 256)
+    vae_recon: str = "mse"  # mse | gaussian_nll
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    epochs: int = 500
+    n_critic: int = 5
+    gp_weight: float = 10.0
+    optimizer: str = "rmsprop"  # rmsprop | adam | adamw
+    lr_gen: float = 5e-4
+    lr_disc: float = 5e-4
+    adam_b1: float = 0.9
+    adam_b2: float = 0.99
+    weight_decay: float = 0.01  # adamw only
+    lr_halve_every_epochs: int = 50  # reference halves LR every 50 epochs in-loop
+    seed: int = 42
+    # instance-noise augmentation (reference :369-375; off by default)
+    p_aug: float = 0.0
+    norm_scale: float = 0.5
+    # grad-norm clipping (film+xattn variant only in reference :414,457)
+    clip_grad_disc: Optional[float] = None
+    clip_grad_gen: Optional[float] = None
+    freq_compute_test: int = 50
+    freq_print: int = 10
+    n_runs_test: int = 2
+    checkpoint_every_eval: bool = False
+    # VAE
+    vae_beta: float = 1.0
+    vae_lr: float = 5e-5
+    vae_warmup_epochs: int = 10
+    vae_lr_decay: float = 0.999
+    vae_clip_grad: float = 10.0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_dir: str = ""
+    batch_schema: str = "genes"  # genes|multi_patch|multi_token|labels
+    num_patches: int = 256
+    max_tokens: int = 300
+    normalization: str = "standardize"  # standardize | minmax | none
+    zero_gene_threshold: float = 0.9  # drop genes with >90% zeros
+    val_fraction: float = 0.2   # of train split
+    test_fraction: float = 0.2  # of all data
+    seed: int = 42
+    drop_remainder: bool = True
+    cache_on_device: bool = True
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    nearest_k: int = 10
+    pca_components: int = 100
+    detection_classifiers: Tuple[str, ...] = ("LR", "MLP", "RF")
+    balanced_max_oversample: int = 5
+    n_runs: int = 2
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. data = batch sharding; model = tensor sharding of
+    the wide gene-dimension matmuls; replicated when axes are size 1."""
+
+    data_axis: int = -1  # -1: all devices on data axis
+    model_axis: int = 1
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    variant: str = "vanilla"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    run_name: str = "run"
+    output_dir: str = "outputs"
+
+
+def _fusion_for(variant: str, **kw) -> FusionConfig:
+    kinds = {
+        "vanilla": "none",
+        "concat_text": "concat",
+        "concat_image": "concat",
+        "attention": "attention",
+        "img_transformer": "img_transformer",
+        "film": "film",
+        "cross_attention": "xattn",
+        "film_cross_attention": "film_xattn",
+        "benchmark": "labels",
+        "vae": "none",
+        "cvae": "labels",
+    }
+    cond_type = "image" if variant == "concat_image" else "text"
+    return FusionConfig(kind=kinds[variant], condition_type=cond_type, **kw)
+
+
+def _schema_for(variant: str) -> str:
+    if variant in ("vanilla", "vae"):
+        return "genes"
+    if variant in ("benchmark", "cvae"):
+        return "labels"
+    if variant in ("cross_attention", "film_cross_attention"):
+        return "multi_token"
+    return "multi_patch"
+
+
+def variant_config(variant: str, n_genes: int = 18868, **overrides) -> ExperimentConfig:
+    """Build the canonical preset for a reference variant (SURVEY.md §2.3 table)."""
+    fusion_kw = overrides.pop("fusion_kw", {})
+    fusion = _fusion_for(variant, **fusion_kw)
+    model = ModelConfig(n_genes=n_genes, fusion=fusion)
+    train = TrainConfig()
+    if variant == "film_cross_attention":
+        # reference adds grad-norm clipping D<=10 / G<=2 and per-eval checkpoints
+        # (conditional_gan_cross_attention_with_film.py:414,457,710-711)
+        train = dataclasses.replace(
+            train, clip_grad_disc=10.0, clip_grad_gen=2.0, checkpoint_every_eval=True
+        )
+    if variant in ("benchmark", "cvae"):
+        train = dataclasses.replace(train, freq_compute_test=100)
+    ev = EvalConfig()
+    if variant == "vanilla":
+        ev = dataclasses.replace(ev, n_runs=5)
+    elif variant in ("benchmark", "cvae"):
+        ev = dataclasses.replace(ev, n_runs=10)
+    data = DataConfig(batch_schema=_schema_for(variant))
+    cfg = ExperimentConfig(variant=variant, model=model, train=train, data=data, eval=ev)
+    for k, v in overrides.items():
+        cfg = dataclasses.replace(cfg, **{k: v})
+    return cfg
+
+
+def replace(cfg, **kw):
+    """Convenience dataclasses.replace passthrough."""
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,50 @@
+"""Synthetic multimodal datasets for tests, smoke runs and benchmarks.
+
+The reference's only self-test fits a classifier on `np.random.rand(2000, 18000)`
+(/root/reference/src/classifiers/mlp.py:102-111). We generalize that pattern:
+a mixture-of-gaussians expression matrix with class structure plus synthetic
+patch/token embeddings correlated with the class, so conditional variants and
+the full metric battery are exercisable without TCGA.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def synthetic_dataset(n: int = 256, n_genes: int = 64, n_classes: int = 4,
+                      n_sites: int = 3, num_patches: int = 16, patch_dim: int = 32,
+                      num_tokens: int = 12, text_dim: int = 24,
+                      seed: int = 0) -> Dict[str, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    disease = rng.randint(0, n_classes, size=n)
+    site = rng.randint(0, n_sites, size=n)
+    centers = rng.randn(n_classes, n_genes) * 2.0
+    genes = centers[disease] + rng.randn(n, n_genes).astype(np.float32)
+
+    text_centers = rng.randn(n_classes, text_dim)
+    text_emb = (text_centers[disease] + 0.3 * rng.randn(n, text_dim)).astype(np.float32)
+    tokens = (text_centers[disease][:, None, :]
+              + 0.3 * rng.randn(n, num_tokens, text_dim)).astype(np.float32)
+    token_len = rng.randint(2, num_tokens + 1, size=n)
+    token_mask = np.arange(num_tokens)[None, :] < token_len[:, None]
+
+    patch_centers = rng.randn(n_classes, patch_dim)
+    patches = (patch_centers[disease][:, None, :]
+               + 0.5 * rng.randn(n, num_patches, patch_dim)).astype(np.float32)
+    patch_len = rng.randint(1, num_patches + 1, size=n)
+    patch_mask = np.arange(num_patches)[None, :] < patch_len[:, None]
+    patches = patches * patch_mask[:, :, None]
+
+    return {
+        "genes": genes.astype(np.float32),
+        "text_emb": text_emb,
+        "tokens": tokens,
+        "token_mask": token_mask,
+        "patches": patches,
+        "patch_mask": patch_mask,
+        "disease": disease.astype(np.int32),
+        "site": site.astype(np.int32),
+    }

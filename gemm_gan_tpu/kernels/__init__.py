@@ -1,0 +1,1 @@
+from gemm_gan_tpu.kernels.flash_attention import masked_mha, mha_reference  # noqa: F401

@@ -1,0 +1,86 @@
+"""WGAN-GP generator and critic.
+
+One parametric Generator/Critic pair replaces the reference's per-file
+`generator`/`discriminator` classes (e.g.
+/root/reference/src/conditional_gan_concat.py:97-195,
+src/vanilla_gan_unconditional.py:93-184): each owns an independent fusion
+module (selected by config) and an MLP trunk over [z ∥ cond] / [x ∥ cond].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gemm_gan_tpu.config import ModelConfig
+from gemm_gan_tpu.fusion.modules import build_fusion
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+class _Conditioned(nn.Module):
+    cfg: ModelConfig
+
+    def _dtype(self):
+        return _DTYPES[self.cfg.compute_dtype]
+
+    def cond_vector(self, cond: Optional[dict], deterministic: bool):
+        fusion = build_fusion(self.cfg.fusion, dtype=self._dtype(), name="fusion")
+        if fusion is None:
+            return None
+        if cond is None:
+            raise ValueError(
+                f"fusion kind {self.cfg.fusion.kind!r} requires conditioning inputs "
+                f"(batch keys like 'text_emb'/'patches'/'tokens'/'disease'), got none")
+        return fusion(cond, deterministic=deterministic).astype(jnp.float32)
+
+
+class Generator(_Conditioned):
+    """z [B, latent] (+ cond dict) -> gene-expression vector [B, n_genes]."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, z, cond: Optional[dict] = None, deterministic: bool = True,
+                 train: bool = False):
+        from gemm_gan_tpu.ops.mlp import MLPTrunk
+
+        cvec = self.cond_vector(cond, deterministic)
+        x = z if cvec is None else jnp.concatenate([z, cvec], axis=-1)
+        return MLPTrunk(
+            hidden_dims=self.cfg.gen_dims,
+            out_dim=self.cfg.n_genes,
+            negative_slope=self.cfg.negative_slope,
+            use_batchnorm=self.cfg.use_batchnorm,
+            dtype=self._dtype(),
+            name="trunk",
+        )(x, train=train)
+
+
+class Critic(_Conditioned):
+    """Gene-expression vector [B, n_genes] (+ cond dict) -> score [B, 1].
+
+    Named Critic (it scores, not classifies), but provides the reference's
+    `discriminator` capability. The score head stays f32: WGAN losses and the
+    gradient penalty are variance-sensitive (SURVEY.md §7 hard part 7).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, cond: Optional[dict] = None, deterministic: bool = True,
+                 train: bool = False):
+        from gemm_gan_tpu.ops.mlp import MLPTrunk
+
+        cvec = self.cond_vector(cond, deterministic)
+        h = x if cvec is None else jnp.concatenate([x, cvec], axis=-1)
+        return MLPTrunk(
+            hidden_dims=self.cfg.disc_dims,
+            out_dim=1,
+            negative_slope=self.cfg.negative_slope,
+            use_batchnorm=self.cfg.use_batchnorm,
+            dtype=self._dtype(),
+            name="trunk",
+        )(h, train=train)

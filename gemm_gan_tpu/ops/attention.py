@@ -1,0 +1,101 @@
+"""Masked multi-head attention + transformer encoder (Flax).
+
+Capability parity with the reference's `nn.MultiheadAttention(4 heads)` and
+2-layer `nn.TransformerEncoder(d=256, ff=512, dropout=.1, batch_first=True)`
+fusion stacks (/root/reference/src/conditional_gan_img_transformer.py:117-122,
+src/conditional_gan_cross_attention.py:113-138). Post-LayerNorm blocks with
+ReLU feed-forward match torch's `TransformerEncoderLayer` defaults.
+
+Masks use True = valid everywhere (see kernels/flash_attention.py docstring).
+The attention core dispatches to the Pallas flash kernel on TPU inference
+paths and to the fused-jnp reference under autodiff.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gemm_gan_tpu.kernels.flash_attention import masked_mha
+
+
+class MaskedMultiHeadAttention(nn.Module):
+    """Cross/self attention with key-padding mask.
+
+    Call: (q_in [B, Lq, E], kv_in [B, Lk, E], kv_mask [B, Lk] or None).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    use_pallas: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, kv_mask=None, deterministic: bool = True):
+        E, H = self.embed_dim, self.num_heads
+        assert E % H == 0, "embed_dim must divide num_heads"
+        D = E // H
+        B, Lq, _ = q_in.shape
+        Lk = kv_in.shape[1]
+
+        q = nn.Dense(E, dtype=self.dtype, name="q_proj")(q_in)
+        k = nn.Dense(E, dtype=self.dtype, name="k_proj")(kv_in)
+        v = nn.Dense(E, dtype=self.dtype, name="v_proj")(kv_in)
+
+        def split(x, L):
+            return x.reshape(B, L, H, D).transpose(0, 2, 1, 3)
+
+        out = masked_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
+                         use_pallas=self.use_pallas and deterministic)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+        out = nn.Dense(E, dtype=self.dtype, name="out_proj")(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class TransformerEncoderLayer(nn.Module):
+    embed_dim: int
+    num_heads: int
+    ff_dim: int
+    dropout: float = 0.1
+    use_pallas: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        attn = MaskedMultiHeadAttention(
+            self.embed_dim, self.num_heads, dropout=self.dropout,
+            use_pallas=self.use_pallas, dtype=self.dtype,
+        )(x, x, mask, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=jnp.float32)(x + attn)
+        h = nn.Dense(self.ff_dim, dtype=self.dtype)(x)
+        h = nn.relu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype)(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(dtype=jnp.float32)(x + h)
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    embed_dim: int
+    num_heads: int
+    ff_dim: int
+    dropout: float = 0.1
+    use_pallas: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        for _ in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.embed_dim, self.num_heads, self.ff_dim, self.dropout,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+            )(x, mask, deterministic=deterministic)
+        return x

@@ -1,0 +1,60 @@
+"""Sharding rules: batch over `data`, gene-dimension matmuls over `model`.
+
+The model is small (~15M params) so DP is the workload's primary strategy
+(SURVEY.md §2.5), but the two matmuls touching the ~18.9k-gene dimension —
+the generator's output projection [hidden, n_genes] and the critic's input
+projection [n_genes + cond, hidden] — dominate FLOPs and memory, and are
+tensor-sharded over the `model` axis. Everything else is replicated. XLA
+inserts the all-gather/psum collectives implied by these annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def batch_shardings_like(mesh: Mesh, batch: Any):
+    """A pytree of NamedShardings sharding every array's leading axis."""
+    return jax.tree.map(lambda _: batch_sharding(mesh), batch)
+
+
+def _spec_for_param(path: str, ndim: int, gene_dim: int, shape) -> P:
+    """Tensor-parallel rules keyed on parameter path + shape."""
+    is_kernel = path.endswith("kernel")
+    is_bias = path.endswith("bias")
+    if is_kernel and ndim == 2:
+        if shape[1] == gene_dim:  # generator output projection: shard out dim
+            return P(None, "model")
+        if shape[0] >= gene_dim:  # critic input projection (n_genes [+cond]): shard in dim
+            return P("model", None)
+    if is_bias and ndim == 1 and shape[0] == gene_dim:
+        return P("model")
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any, gene_dim: int):
+    """NamedShardings for a param pytree under the TP rules above."""
+
+    def one(path, leaf):
+        path_str = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        return NamedSharding(mesh, _spec_for_param(path_str, leaf.ndim, gene_dim, leaf.shape))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(mesh: Mesh, params: Any, gene_dim: int):
+    """Device-put params according to the TP rules."""
+    shardings = param_shardings(mesh, params, gene_dim)
+    return jax.tree.map(jax.device_put, params, shardings)

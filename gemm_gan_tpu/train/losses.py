@@ -1,0 +1,49 @@
+"""WGAN-GP losses.
+
+Semantics-parity with the reference loss trio
+(/root/reference/src/conditional_gan_concat.py:36-50) and gradient penalty
+(:319-342): the penalty is the squared deviation of the per-sample gradient
+L2-norm from 1, with gradients taken w.r.t. the interpolated *expression
+vector only* (conditioning inputs held fixed — matching the reference's
+`autograd.grad(outputs, inputs=interpolated)`).
+
+In JAX the double-backward (`create_graph=True` in torch) is simply
+`jax.grad` applied to an expression containing an inner `jax.grad`; XLA
+compiles the whole thing into the one fused train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def wasserstein_loss(y_pred, y_true):
+    return jnp.mean(y_pred * y_true)
+
+
+def g_loss(fake_scores):
+    """Generator loss: -E[D(G(z))]."""
+    return wasserstein_loss(fake_scores, -jnp.ones_like(fake_scores))
+
+
+def d_loss(real_scores, fake_scores):
+    """Critic loss: E[D(fake)] - E[D(real)] (returned with components)."""
+    loss_real = wasserstein_loss(-jnp.ones_like(real_scores), real_scores)
+    loss_fake = wasserstein_loss(jnp.ones_like(fake_scores), fake_scores)
+    return loss_real + loss_fake, loss_real, loss_fake
+
+
+def gradient_penalty(disc_fn, real, fake, alpha_key):
+    """((||∇_x D(x̂)||₂ − 1)²).mean() with x̂ = αx + (1−α)G(z), α~U(0,1) per sample.
+
+    `disc_fn` must map a [B, n_genes] expression batch to [B, 1] scores with
+    the critic params and conditioning closed over. Per-sample gradients are
+    exact because the critic is per-sample (no batch-coupled norms): grad of
+    the summed score w.r.t. the input equals the stacked per-sample grads.
+    """
+    alpha = jax.random.uniform(alpha_key, (real.shape[0], 1), dtype=real.dtype)
+    interp = alpha * real + (1.0 - alpha) * fake
+    grads = jax.grad(lambda x: jnp.sum(disc_fn(x)))(interp)
+    norms = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)

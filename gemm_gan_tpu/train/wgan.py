@@ -1,0 +1,244 @@
+"""Fused WGAN-GP training engine.
+
+The reference dispatches 12+ Python-level forward/backward graphs per batch
+(5 critic updates + 1 generator update + the GP double-backward, each its own
+torch autograd call — SURVEY.md §3.1/§3.2). Here the entire n_critic-unrolled
+update — 5 critic steps with fresh latents, gradient penalty via grad-of-grad,
+1 generator step, both optimizer updates — is ONE jitted XLA program with
+donated buffers, sharded over a (data, model) mesh.
+
+Behavioral parity notes (reference: /root/reference/src/conditional_gan_concat.py):
+  * same real batch across the n_critic critic iterations, fresh z each (:445-451);
+  * GP weight 10, norm taken w.r.t. interpolated expression only (:319-342,382-383);
+  * optional instance-noise augmentation gated per-batch (:369-375) — the
+    reference's real-branch bug (undefined `x`) is fixed to the intended
+    behavior: the SAME gate draws fresh noise for fake and real;
+  * the reference's `loss.requires_grad_(True)` / manual requires_grad
+    toggling anti-patterns (:353-359,385,407-413) have no JAX equivalent and
+    are dropped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gemm_gan_tpu.config import ExperimentConfig
+from gemm_gan_tpu.models.gan import Critic, Generator
+from gemm_gan_tpu.parallel.sharding import batch_sharding, param_shardings
+from gemm_gan_tpu.train import losses
+from gemm_gan_tpu.train.schedules import make_optimizer
+from gemm_gan_tpu.train.state import GANTrainState
+
+COND_KEYS = ("text_emb", "tokens", "token_mask", "patches", "patch_mask",
+             "disease", "site")
+
+
+def cond_of(batch: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    cond = {k: batch[k] for k in COND_KEYS if k in batch}
+    return cond or None
+
+
+class WGANGPEngine:
+    def __init__(self, cfg: ExperimentConfig, steps_per_epoch: int = 1, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.gen = Generator(cfg.model)
+        self.disc = Critic(cfg.model)
+        t = cfg.train
+        self.g_tx = make_optimizer(t, t.lr_gen, steps_per_epoch, t.clip_grad_gen)
+        self.d_tx = make_optimizer(t, t.lr_disc, steps_per_epoch, t.clip_grad_disc)
+        self._train_step = None
+        self._sample = None
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: int, sample_batch: Dict[str, Any]) -> GANTrainState:
+        cfg = self.cfg
+        key = jax.random.key(seed)
+        kg, kd, krun = jax.random.split(key, 3)
+        cond = cond_of(sample_batch)
+        z = jnp.zeros((sample_batch["genes"].shape[0], cfg.model.latent_dim))
+        g_params = self.gen.init({"params": kg}, z, cond, deterministic=True)["params"]
+        d_params = self.disc.init({"params": kd}, jnp.asarray(sample_batch["genes"]),
+                                  cond, deterministic=True)["params"]
+        state = GANTrainState.create(
+            g_params, d_params, self.g_tx.init(g_params), self.d_tx.init(d_params),
+            krun)
+        if self.mesh is not None:
+            gs = param_shardings(self.mesh, state.g_params, cfg.model.n_genes)
+            ds = param_shardings(self.mesh, state.d_params, cfg.model.n_genes)
+            rep = NamedSharding(self.mesh, P())
+            state = state.replace(
+                g_params=jax.tree.map(jax.device_put, state.g_params, gs),
+                d_params=jax.tree.map(jax.device_put, state.d_params, ds),
+                g_opt_state=jax.device_put(state.g_opt_state, rep),
+                d_opt_state=jax.device_put(state.d_opt_state, rep),
+                step=jax.device_put(state.step, rep),
+                key=jax.device_put(state.key, rep),
+            )
+        return state
+
+    # ------------------------------------------------------------- train step
+    def _build_train_step(self):
+        cfg = self.cfg
+        t, m = cfg.train, cfg.model
+        gen, disc = self.gen, self.disc
+        g_tx, d_tx = self.g_tx, self.d_tx
+
+        def gen_fwd(g_params, z, cond, key):
+            return gen.apply({"params": g_params}, z, cond, deterministic=False,
+                             rngs={"dropout": key})
+
+        def disc_fwd(d_params, x, cond, key):
+            return disc.apply({"params": d_params}, x, cond, deterministic=False,
+                              rngs={"dropout": key})
+
+        def augment(x, key, gate):
+            if t.p_aug <= 0:
+                return x
+            noise = jax.random.normal(key, x.shape, dtype=x.dtype) * t.norm_scale
+            return x + gate * noise
+
+        def critic_update(state, real, cond, key):
+            kz, ka, kgate, kn1, kn2, kd1, kd2, kd3 = jax.random.split(key, 8)
+            z = jax.random.normal(kz, (real.shape[0], m.latent_dim))
+            gate = (jax.random.bernoulli(kgate, t.p_aug) if t.p_aug > 0
+                    else jnp.zeros(()))
+            fake = jax.lax.stop_gradient(gen_fwd(state.g_params, z, cond, kd1))
+            fake_a = augment(fake, kn1, gate)
+            real_a = augment(real, kn2, gate)
+
+            def loss_fn(d_params):
+                d_real = disc_fwd(d_params, real_a, cond, kd2)
+                d_fake = disc_fwd(d_params, fake_a, cond, kd2)
+                loss, loss_r, loss_f = losses.d_loss(d_real, d_fake)
+                gp = losses.gradient_penalty(
+                    lambda x: disc_fwd(d_params, x, cond, kd3), real_a, fake_a, ka)
+                return loss + t.gp_weight * gp, (loss, gp, jnp.mean(d_real),
+                                                 jnp.mean(d_fake))
+
+            grads, aux = jax.grad(loss_fn, has_aux=True)(state.d_params)
+            updates, d_opt = d_tx.update(grads, state.d_opt_state, state.d_params)
+            d_params = optax.apply_updates(state.d_params, updates)
+            return state.replace(d_params=d_params, d_opt_state=d_opt), aux
+
+        def gen_update(state, real, cond, key):
+            kz, kd1, kd2 = jax.random.split(key, 3)
+            z = jax.random.normal(kz, (real.shape[0], m.latent_dim))
+
+            def loss_fn(g_params):
+                fake = gen_fwd(g_params, z, cond, kd1)
+                scores = disc_fwd(state.d_params, fake, cond, kd2)
+                return losses.g_loss(scores)
+
+            gl, grads = jax.value_and_grad(loss_fn)(state.g_params)
+            updates, g_opt = g_tx.update(grads, state.g_opt_state, state.g_params)
+            g_params = optax.apply_updates(state.g_params, updates)
+            return state.replace(g_params=g_params, g_opt_state=g_opt), gl
+
+        def train_step(state: GANTrainState, batch: Dict[str, Any]):
+            real = batch["genes"]
+            cond = cond_of(batch)
+            key = jax.random.fold_in(state.key, state.step)
+            keys = jax.random.split(key, t.n_critic + 1)
+            d_aux = None
+            for i in range(t.n_critic):
+                state, d_aux = critic_update(state, real, cond, keys[i])
+            state, gl = gen_update(state, real, cond, keys[t.n_critic])
+            d_total, gp, d_real, d_fake = d_aux
+            metrics = {"d_loss": d_total, "g_loss": gl, "gp": gp,
+                       "d_real": d_real, "d_fake": d_fake}
+            return state.replace(step=state.step + 1), metrics
+
+        # Shardings propagate from the (already-placed) state and batch args;
+        # XLA inserts the grad-psum across `data` and the all-gathers across
+        # `model` implied by the annotations. Donation reuses both optimizer
+        # states' and params' buffers in-place.
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def step(self, state: GANTrainState, batch: Dict[str, Any]):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        if self.mesh is not None:
+            sb = batch_sharding(self.mesh)
+            batch = {k: jax.device_put(v, sb) for k, v in batch.items()}
+        return self._train_step(state, batch)
+
+    # --------------------------------------------------------------- sampling
+    def _build_sample(self):
+        latent = self.cfg.model.latent_dim
+        gen = self.gen
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def sample(g_params, key, cond, n):
+            z = jax.random.normal(key, (n, latent))
+            return gen.apply({"params": g_params}, z, cond, deterministic=True)
+
+        return sample
+
+    def generate_samples(self, state: GANTrainState, key, batch: Dict[str, Any]):
+        """Generate one batch of fake expressions for the given conditioning."""
+        if self._sample is None:
+            self._sample = self._build_sample()
+        cond = cond_of(batch)
+        n = batch["genes"].shape[0]
+        return self._sample(state.g_params, key, cond, n=n)
+
+    def generate_samples_all(self, state, key, batches: Iterable[Dict[str, Any]],
+                             num_repeats: int = 1):
+        """Real/fake pairs over a whole loader (parity:
+        /root/reference/src/conditional_gan_concat.py:453-560)."""
+        reals, fakes, diseases, sites = [], [], [], []
+        for _ in range(num_repeats):
+            for batch in batches:
+                key, sub = jax.random.split(key)
+                fake = self.generate_samples(state, sub, batch)
+                reals.append(np.asarray(batch["genes"]))
+                fakes.append(np.asarray(fake))
+                if "disease" in batch:
+                    diseases.append(np.asarray(batch["disease"]))
+                if "site" in batch:
+                    sites.append(np.asarray(batch["site"]))
+        out = {
+            "real": np.concatenate(reals), "fake": np.concatenate(fakes),
+        }
+        if diseases:
+            out["disease"] = np.concatenate(diseases)
+        if sites:
+            out["site"] = np.concatenate(sites)
+        return out
+
+    # -------------------------------------------------------------------- fit
+    def fit(self, state: GANTrainState, epochs: int,
+            batches_fn: Callable[[], Iterable[Dict[str, Any]]],
+            on_epoch_end: Optional[Callable] = None,
+            logger=None) -> GANTrainState:
+        """Minimal fit loop: jitted fused steps + optional epoch callback.
+
+        The full reference-parity experiment protocol (periodic detection /
+        metric evaluation, npy dumps, checkpoints) lives in
+        `gemm_gan_tpu.cli.experiment` and plugs in via `on_epoch_end`.
+        """
+        history = {"d_loss": [], "g_loss": []}
+        for epoch in range(epochs):
+            last_metrics = None
+            for batch in batches_fn():
+                state, last_metrics = self.step(state, batch)
+            if last_metrics is not None:
+                if logger is not None:
+                    logger.log(int(jax.device_get(state.step)),
+                               **{k: v for k, v in last_metrics.items()})
+                history["d_loss"].append(float(last_metrics["d_loss"]))
+                history["g_loss"].append(float(last_metrics["g_loss"]))
+            if on_epoch_end is not None:
+                maybe = on_epoch_end(self, state, epoch)
+                if maybe is not None:
+                    state = maybe
+        self.history = history
+        return state
