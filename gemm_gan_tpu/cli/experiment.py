@@ -1,0 +1,247 @@
+"""Reference-parity experiment protocol around the fused engines.
+
+Reproduces the behavior of the reference trainers' `fit`/`evaluate` blocks
+(/root/reference/src/conditional_gan_concat.py:575-1015) on top of
+`WGANGPEngine`/`VAEEngine`:
+
+  * validation every `freq_compute_test` epochs: regenerate train+val sets,
+    run `detection` + `compute_evaluation_metrics` (:664-689);
+  * final epoch: save full-state checkpoint, plot validation metric curves
+    (:710-729), run `n_runs` test repetitions dumping the 8-npy artifact
+    contract per run into `test_{run}_epoch_{E}/` (:756-767; +4 primary-site
+    files as in conditional_gan_film.py:756-770), then per-run gamma /
+    evaluation metrics / detection incl. a PCA-100 detection pass (:812-832);
+  * balanced class-oversampled generation (generate_samples_all(balanced=True),
+    :453-516) capped at `balanced_max_oversample`x;
+  * `evaluate()` restores the checkpoint and reruns the test block (:869-1015);
+  * post-hoc `UtilityEvaluator`/`UtilityEvaluatorPrimary` + DCR/NNDR privacy
+    sweep over the dump dirs (:1075-1110).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from gemm_gan_tpu.config import ExperimentConfig
+from gemm_gan_tpu.data.loader import Batches
+from gemm_gan_tpu.eval.detection import compute_evaluation_metrics, detection
+from gemm_gan_tpu.eval.gamma import gamma_coef
+from gemm_gan_tpu.eval.privacy import dcr, nndr
+from gemm_gan_tpu.eval.utility import UtilityEvaluator, UtilityEvaluatorPrimary, save_run_artifacts
+from gemm_gan_tpu.train.checkpoint import restore_state, save_state
+from gemm_gan_tpu.train.wgan import WGANGPEngine
+from gemm_gan_tpu.utils.metrics import MetricLogger
+
+
+def _balanced_indices(disease: np.ndarray, max_oversample: int, rng) -> np.ndarray:
+    """Class-balanced oversampling capped at max_oversample x
+    (parity: conditional_gan_concat.py:465-482)."""
+    classes, counts = np.unique(disease, return_counts=True)
+    max_count = counts.max()
+    out = []
+    for cls, cnt in zip(classes, counts):
+        idx = np.where(disease == cls)[0]
+        target = min(max_count, cnt * max_oversample)
+        reps = rng.choice(idx, target, replace=True) if target > cnt else idx
+        out.append(reps)
+    out = np.concatenate(out)
+    rng.shuffle(out)
+    return out
+
+
+class Experiment:
+    def __init__(self, cfg: ExperimentConfig, splits: Dict, mesh=None):
+        self.cfg = cfg
+        self.splits = splits
+        t = cfg.train
+        self.loaders = {
+            name: Batches(splits[name], t.batch_size, seed=t.seed,
+                          shuffle=(name == "train"))
+            for name in ("train", "val", "test") if name in splits
+        }
+        self.engine = WGANGPEngine(cfg, steps_per_epoch=len(self.loaders["train"]),
+                                   mesh=mesh)
+        self.out_dir = os.path.join(cfg.output_dir, cfg.run_name)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.logger = MetricLogger(self.out_dir, cfg.run_name)
+        self.val_metrics_history = []
+
+    # ----------------------------------------------------------------- train
+    def fit(self) -> Dict:
+        cfg, t = self.cfg, self.cfg.train
+        eng = self.engine
+        sample_batch = next(iter(self.loaders["train"].epoch(0)))
+        state = eng.init_state(t.seed, sample_batch)
+        key = jax.random.key(t.seed + 1)
+
+        def on_epoch_end(engine, state, epoch):
+            nonlocal key
+            last = (epoch == t.epochs - 1)
+            if (epoch + 1) % t.freq_compute_test == 0 and not last:
+                key, sub = jax.random.split(key)
+                self._validation_eval(state, sub, epoch)
+                if t.checkpoint_every_eval:
+                    save_state(os.path.join(self.out_dir, "ckpt"),
+                               jax.device_get(state))
+            return None
+
+        state = eng.fit(state, t.epochs, lambda: self.loaders["train"].epoch(),
+                        on_epoch_end=on_epoch_end, logger=self.logger)
+        self.state = state
+        save_state(os.path.join(self.out_dir, "ckpt"), jax.device_get(state))
+        self._plot_val_curves()
+        results = self._test_block(state)
+        return results
+
+    def _validation_eval(self, state, key, epoch):
+        """Periodic detection + metric eval on train vs val regeneration
+        (parity: conditional_gan_concat.py:664-689)."""
+        k1, k2 = jax.random.split(key)
+        train_out = self.engine.generate_samples_all(
+            state, k1, self.loaders["train"].epoch(epoch))
+        val_out = self.engine.generate_samples_all(
+            state, k2, self.loaders["val"].epoch(epoch))
+        det = detection(train_out["real"], train_out["fake"],
+                        val_out["real"], val_out["fake"])
+        metrics = compute_evaluation_metrics(
+            train_out["real"], train_out["fake"], val_out["real"], val_out["fake"],
+            nn=self.cfg.eval.nearest_k,
+            n_components=min(self.cfg.eval.pca_components,
+                             train_out["real"].shape[0] - 1))
+        rec = {"epoch": epoch, "detection": det, "metrics": metrics}
+        self.val_metrics_history.append(rec)
+        self.logger.log(epoch, val_detection_acc=det["LR"]["accuracy"],
+                        val_precision=metrics["precision"],
+                        val_recall=metrics["recall"])
+        return rec
+
+    def _plot_val_curves(self):
+        """Validation metric curves (parity: :710-729)."""
+        if not self.val_metrics_history:
+            return
+        from gemm_gan_tpu.viz import plot_curves
+
+        hist = {
+            "detection_acc": [r["detection"]["LR"]["accuracy"]
+                              for r in self.val_metrics_history],
+            "precision": [r["metrics"]["precision"] for r in self.val_metrics_history],
+            "recall": [r["metrics"]["recall"] for r in self.val_metrics_history],
+            "coverage": [r["metrics"]["coverage"] for r in self.val_metrics_history],
+        }
+        plot_curves(hist, os.path.join(self.out_dir, "validation_metrics.png"),
+                    title="validation metrics")
+
+    # ------------------------------------------------------------------ test
+    def _test_block(self, state, epoch: Optional[int] = None) -> Dict:
+        """n_runs test repetitions + artifact dumps + per-run metrics
+        (parity: :732-832)."""
+        cfg, t, ev = self.cfg, self.cfg.train, self.cfg.eval
+        epoch = t.epochs if epoch is None else epoch
+        rng = np.random.RandomState(t.seed)
+        key = jax.random.key(t.seed + 2)
+        all_results = []
+        has_labels = "disease" in self.splits["train"]
+
+        for run in range(ev.n_runs):
+            key, k1, k2 = jax.random.split(key, 3)
+            train_out = self.engine.generate_samples_all(
+                state, k1, self.loaders["train"].epoch(run))
+            test_out = self.engine.generate_samples_all(
+                state, k2, self.loaders["test"].epoch(run))
+
+            run_dir = os.path.join(self.out_dir, f"test_{run}_epoch_{epoch}")
+            arrays = {
+                "data_real": train_out["real"], "data_gen": train_out["fake"],
+                "test_real": test_out["real"], "test_gen": test_out["fake"],
+            }
+            if has_labels:
+                arrays.update({
+                    "train_labels_real": train_out["disease"],
+                    "train_labels_gen": train_out["disease"],
+                    "test_labels_real": test_out["disease"],
+                    "test_labels_gen": test_out["disease"],
+                })
+                if "site" in train_out:
+                    arrays.update({
+                        "train_labels_primary_site_real": train_out["site"],
+                        "train_labels_primary_site_gen": train_out["site"],
+                        "test_labels_primary_site_real": test_out["site"],
+                        "test_labels_primary_site_gen": test_out["site"],
+                    })
+            save_run_artifacts(run_dir, arrays)
+
+            res = {
+                "gamma": float(gamma_coef(test_out["real"], test_out["fake"])),
+                "detection": detection(train_out["real"], train_out["fake"],
+                                       test_out["real"], test_out["fake"]),
+                "metrics": compute_evaluation_metrics(
+                    train_out["real"], train_out["fake"],
+                    test_out["real"], test_out["fake"], nn=ev.nearest_k,
+                    n_components=min(ev.pca_components,
+                                     train_out["real"].shape[0] - 1)),
+            }
+            all_results.append(res)
+
+        summary = {
+            "gamma_mean": float(np.mean([r["gamma"] for r in all_results])),
+            "gamma_std": float(np.std([r["gamma"] for r in all_results])),
+            "runs": all_results,
+        }
+        return summary
+
+    # -------------------------------------------------------------- evaluate
+    def evaluate(self) -> Dict:
+        """Restore checkpoint and rerun the test block (parity: :869-1015)."""
+        sample_batch = next(iter(self.loaders["train"].epoch(0)))
+        template = jax.device_get(
+            self.engine.init_state(self.cfg.train.seed, sample_batch))
+        state = restore_state(os.path.join(self.out_dir, "ckpt"), template)
+        return self._test_block(state, epoch=int(state.step))
+
+    # -------------------------------------------------------------- post-hoc
+    def posthoc_utility(self) -> Dict:
+        """UtilityEvaluator + primary-site variant over the dumps
+        (parity: :1075-1083)."""
+        out = {}
+        ev = UtilityEvaluator(self.out_dir)
+        if ev.results_dirs:
+            ev.evaluate()
+            out["disease"] = ev.report()
+        evp = UtilityEvaluatorPrimary(self.out_dir)
+        try:
+            if evp.results_dirs:
+                evp.evaluate()
+                out["primary_site"] = evp.report()
+        except FileNotFoundError:
+            pass
+        return out
+
+    def posthoc_privacy(self) -> Dict:
+        """DCR/NNDR over each test_* dir (parity: :1096-1110)."""
+        from glob import glob
+
+        train_real = self.splits["train"]["genes"]
+        results = {"dcr": [], "nndr": []}
+        for d in sorted(glob(os.path.join(self.out_dir, "test_*"))):
+            gen = np.load(os.path.join(d, "data_gen.npy"))
+            test_real = np.load(os.path.join(d, "test_real.npy"))
+            results["dcr"].append(dcr(train_real, gen, test_real))
+            results["nndr"].append(nndr(train_real, gen, test_real))
+        return {k: (float(np.mean(v)), float(np.std(v)))
+                for k, v in results.items() if v}
+
+    def generate_balanced(self, state, key, num_repeats: int = 1) -> Dict:
+        """Balanced oversampled generation (parity: :453-516)."""
+        t, ev = self.cfg.train, self.cfg.eval
+        data = self.splits["train"]
+        rng = np.random.RandomState(t.seed)
+        idx = _balanced_indices(data["disease"], ev.balanced_max_oversample, rng)
+        balanced = {k: v[idx] for k, v in data.items()}
+        loader = Batches(balanced, 64, seed=t.seed, shuffle=False,
+                         drop_remainder=False)
+        return self.engine.generate_samples_all(state, key, loader.epoch(0),
+                                                num_repeats=num_repeats)

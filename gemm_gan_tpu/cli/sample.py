@@ -1,0 +1,60 @@
+"""Sample entry point: restore a checkpoint and generate expression profiles.
+
+Covers the reference's `generate_samples` / `generate_samples_all` inference
+paths (/root/reference/src/conditional_gan_concat.py:453-560) as a CLI, with
+optional class-balanced oversampling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="gemm_gan_tpu sampler")
+    p.add_argument("--variant", default="vanilla")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--out", default="generated.npy")
+    p.add_argument("--num_repeats", type=int, default=1)
+    p.add_argument("--balanced", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from gemm_gan_tpu.cli.experiment import Experiment
+    from gemm_gan_tpu.cli.train import main as _  # noqa: F401 (shared presets)
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.data.tcga import load_tcga
+    from gemm_gan_tpu.train.checkpoint import restore_state
+
+    schema = {"vanilla": "genes", "vae": "genes", "benchmark": "labels",
+              "cvae": "labels", "cross_attention": "multi_token",
+              "film_cross_attention": "multi_token"}.get(args.variant, "multi_patch")
+    splits = load_tcga(args.data_dir, schema=schema, seed=args.seed)
+    meta = splits["meta"]
+    fusion_kw = {}
+    if meta["disease_vocab"]:
+        fusion_kw = dict(n_disease_types=len(meta["disease_vocab"]),
+                         n_primary_sites=len(meta["site_vocab"]))
+    cfg = variant_config(args.variant, n_genes=meta["n_genes"], fusion_kw=fusion_kw)
+    exp = Experiment(cfg, splits)
+    template = jax.device_get(exp.engine.init_state(
+        args.seed, next(iter(exp.loaders["train"].epoch(0)))))
+    state = restore_state(args.ckpt_dir, template)
+
+    key = jax.random.key(args.seed)
+    if args.balanced:
+        out = exp.generate_balanced(state, key, num_repeats=args.num_repeats)
+    else:
+        out = exp.engine.generate_samples_all(
+            state, key, exp.loaders["train"].epoch(0), num_repeats=args.num_repeats)
+    np.save(args.out, out["fake"])
+    print(f"wrote {out['fake'].shape} -> {os.path.abspath(args.out)}")
+
+
+if __name__ == "__main__":
+    main()

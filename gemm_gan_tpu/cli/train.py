@@ -1,0 +1,112 @@
+"""Train entry point: `python -m gemm_gan_tpu.cli.train --variant film ...`
+
+Replaces the reference's 8 per-file argparse __main__ blocks
+(e.g. /root/reference/src/conditional_gan_concat.py:1023-1109) with one CLI
+over the variant presets. Runs the full reference protocol: train -> periodic
+validation -> final test dumps -> post-hoc utility + privacy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="gemm_gan_tpu trainer")
+    p.add_argument("--variant", default="vanilla")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output_path", default="outputs")
+    p.add_argument("--run_name", default="run")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--latent_dim", type=int, default=256)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--optimizer", default="rmsprop",
+                   choices=["rmsprop", "adam", "adamw"])
+    p.add_argument("--n_critic", type=int, default=5)
+    p.add_argument("--gp_weight", type=float, default=10.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_patches", type=int, default=256)
+    p.add_argument("--freq_compute_test", type=int, default=50)
+    p.add_argument("--normalization", default="standardize",
+                   choices=["standardize", "minmax", "none"])
+    p.add_argument("--mesh_data", type=int, default=-1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--evaluate_only", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.data.tcga import load_tcga
+    from gemm_gan_tpu.parallel.mesh import distributed_init, make_mesh
+
+    distributed_init()
+    schema = {"vanilla": "genes", "vae": "genes", "benchmark": "labels",
+              "cvae": "labels", "cross_attention": "multi_token",
+              "film_cross_attention": "multi_token"}.get(args.variant, "multi_patch")
+    splits = load_tcga(args.data_dir, schema=schema, num_patches=args.num_patches,
+                       normalization=args.normalization, seed=args.seed)
+    meta = splits["meta"]
+
+    fusion_kw = {}
+    if meta["disease_vocab"]:
+        fusion_kw = dict(n_disease_types=len(meta["disease_vocab"]),
+                         n_primary_sites=len(meta["site_vocab"]))
+    cfg = variant_config(args.variant, n_genes=meta["n_genes"], fusion_kw=fusion_kw)
+    cfg = dataclasses.replace(
+        cfg,
+        run_name=args.run_name,
+        output_dir=args.output_path,
+        model=dataclasses.replace(
+            cfg.model, latent_dim=args.latent_dim,
+            gen_dims=(args.hidden_dim, args.hidden_dim),
+            disc_dims=(args.hidden_dim, args.hidden_dim),
+            compute_dtype=args.compute_dtype),
+        train=dataclasses.replace(
+            cfg.train, batch_size=args.batch_size, epochs=args.epochs,
+            n_critic=args.n_critic, gp_weight=args.gp_weight,
+            optimizer=args.optimizer, lr_gen=args.lr, lr_disc=args.lr,
+            seed=args.seed, freq_compute_test=args.freq_compute_test),
+    )
+
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1 or args.mesh_model > 1:
+        mesh = make_mesh(args.mesh_data, args.mesh_model)
+
+    if args.variant in ("vae", "cvae"):
+        from gemm_gan_tpu.cli.vae_experiment import VAEExperiment
+
+        exp = VAEExperiment(cfg, splits)
+    else:
+        from gemm_gan_tpu.cli.experiment import Experiment
+
+        exp = Experiment(cfg, splits, mesh=mesh)
+
+    if args.evaluate_only:
+        results = exp.evaluate()
+    else:
+        results = exp.fit()
+        results["utility"] = exp.posthoc_utility()
+        results["privacy"] = exp.posthoc_privacy()
+
+    out_file = os.path.join(exp.out_dir, "results.json")
+    with open(out_file, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print(json.dumps({"gamma_mean": results.get("gamma_mean"),
+                      "output": out_file}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""VAE/CVAE experiment protocol (mirrors cli/experiment.py for the VAE family;
+reference: /root/reference/src/vae/vanilla_vae.py:304-416, src/vae/cvae.py:388-840)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax
+import numpy as np
+
+from gemm_gan_tpu.config import ExperimentConfig
+from gemm_gan_tpu.data.loader import Batches
+from gemm_gan_tpu.eval.detection import compute_evaluation_metrics, detection
+from gemm_gan_tpu.eval.gamma import gamma_coef
+from gemm_gan_tpu.eval.utility import save_run_artifacts
+from gemm_gan_tpu.train.checkpoint import restore_state, save_state
+from gemm_gan_tpu.train.vae import VAEEngine
+from gemm_gan_tpu.utils.metrics import MetricLogger
+
+
+class VAEExperiment:
+    def __init__(self, cfg: ExperimentConfig, splits: Dict):
+        self.cfg = cfg
+        self.splits = splits
+        t = cfg.train
+        self.loaders = {
+            name: Batches(splits[name], t.batch_size, seed=t.seed,
+                          shuffle=(name == "train"))
+            for name in ("train", "val", "test") if name in splits
+        }
+        self.engine = VAEEngine(cfg, steps_per_epoch=len(self.loaders["train"]))
+        self.out_dir = os.path.join(cfg.output_dir, cfg.run_name)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.logger = MetricLogger(self.out_dir, cfg.run_name)
+
+    def _gen_like(self, state, key, loader, epoch: int):
+        reals, fakes, diseases, sites = [], [], [], []
+        for batch in loader.epoch(epoch):
+            key, sub = jax.random.split(key)
+            if self.engine.conditional:
+                fake = self.engine.sample(state, sub, disease=batch["disease"],
+                                          site=batch["site"])
+                diseases.append(batch["disease"])
+                sites.append(batch["site"])
+            else:
+                fake = self.engine.sample(state, sub, num=batch["genes"].shape[0])
+            reals.append(batch["genes"])
+            fakes.append(np.asarray(fake))
+        out = {"real": np.concatenate(reals), "fake": np.concatenate(fakes)}
+        if diseases:
+            out["disease"] = np.concatenate(diseases)
+            out["site"] = np.concatenate(sites)
+        return out
+
+    def fit(self) -> Dict:
+        t = self.cfg.train
+        state = self.engine.init_state(
+            t.seed, next(iter(self.loaders["train"].epoch(0))))
+        state = self.engine.fit(state, t.epochs,
+                                lambda: self.loaders["train"].epoch(),
+                                logger=self.logger)
+        self.state = state
+        save_state(os.path.join(self.out_dir, "ckpt"), jax.device_get(state))
+        return self._test_block(state)
+
+    def _test_block(self, state) -> Dict:
+        t, ev = self.cfg.train, self.cfg.eval
+        key = jax.random.key(t.seed + 2)
+        all_results = []
+        for run in range(ev.n_runs):
+            key, k1, k2 = jax.random.split(key, 3)
+            train_out = self._gen_like(state, k1, self.loaders["train"], run)
+            test_out = self._gen_like(state, k2, self.loaders["test"], run)
+            run_dir = os.path.join(self.out_dir, f"test_{run}_epoch_{t.epochs}")
+            arrays = {"data_real": train_out["real"], "data_gen": train_out["fake"],
+                      "test_real": test_out["real"], "test_gen": test_out["fake"]}
+            if "disease" in train_out:
+                arrays.update({
+                    "train_labels_real": train_out["disease"],
+                    "train_labels_gen": train_out["disease"],
+                    "test_labels_real": test_out["disease"],
+                    "test_labels_gen": test_out["disease"],
+                    "train_labels_primary_site_real": train_out["site"],
+                    "train_labels_primary_site_gen": train_out["site"],
+                    "test_labels_primary_site_real": test_out["site"],
+                    "test_labels_primary_site_gen": test_out["site"],
+                })
+            save_run_artifacts(run_dir, arrays)
+            all_results.append({
+                "gamma": float(gamma_coef(test_out["real"], test_out["fake"])),
+                "detection": detection(train_out["real"], train_out["fake"],
+                                       test_out["real"], test_out["fake"]),
+                "metrics": compute_evaluation_metrics(
+                    train_out["real"], train_out["fake"],
+                    test_out["real"], test_out["fake"], nn=ev.nearest_k,
+                    n_components=min(ev.pca_components,
+                                     train_out["real"].shape[0] - 1)),
+            })
+        return {"gamma_mean": float(np.mean([r["gamma"] for r in all_results])),
+                "gamma_std": float(np.std([r["gamma"] for r in all_results])),
+                "runs": all_results}
+
+    def evaluate(self) -> Dict:
+        template = jax.device_get(self.engine.init_state(
+            self.cfg.train.seed, next(iter(self.loaders["train"].epoch(0)))))
+        state = restore_state(os.path.join(self.out_dir, "ckpt"), template)
+        return self._test_block(state)
+
+    def posthoc_utility(self) -> Dict:
+        from gemm_gan_tpu.cli.experiment import Experiment
+
+        return Experiment.posthoc_utility(self)  # same dump contract
+
+    def posthoc_privacy(self) -> Dict:
+        from gemm_gan_tpu.cli.experiment import Experiment
+
+        return Experiment.posthoc_privacy(self)

@@ -1,0 +1,137 @@
+"""On-device classifiers with an sklearn-style interface.
+
+`MLPClassifier` provides the capability of the reference's
+`TorchMLPClassifier` (/root/reference/src/classifiers/mlp.py:29-99:
+BatchNorm+Dropout MLP, AdamW + cross-entropy + grad-clip fit, batched
+predict/proba) as a jitted JAX training loop; with `hidden=()` it doubles as
+the logistic-regression detector (the reference builds LR as a 0-hidden MLP,
+src/generative_model_utils.py:72-76).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _init_params(key, dims: Sequence[int]):
+    params = []
+    for i in range(len(dims) - 1):
+        key, sub = jax.random.split(key)
+        w = jax.random.normal(sub, (dims[i], dims[i + 1])) * np.sqrt(2.0 / dims[i])
+        params.append({"w": w, "b": jnp.zeros((dims[i + 1],)),
+                       "gamma": jnp.ones((dims[i + 1],)),
+                       "beta": jnp.zeros((dims[i + 1],))})
+    return params
+
+
+def _forward(params, x, train: bool, drop_key=None, dropout: float = 0.1):
+    h = x
+    n = len(params)
+    for i, layer in enumerate(params):
+        h = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32) + layer["b"]
+        if i < n - 1:
+            mean = jnp.mean(h, axis=0, keepdims=True)
+            var = jnp.var(h, axis=0, keepdims=True)
+            h = (h - mean) / jnp.sqrt(var + 1e-5) * layer["gamma"] + layer["beta"]
+            h = jax.nn.relu(h)
+            if train and dropout > 0 and drop_key is not None:
+                drop_key, sub = jax.random.split(drop_key)
+                keep = jax.random.bernoulli(sub, 1 - dropout, h.shape)
+                h = jnp.where(keep, h / (1 - dropout), 0.0)
+    return h
+
+
+class MLPClassifier:
+    def __init__(self, hidden: Tuple[int, ...] = (100,), epochs: int = 30,
+                 batch_size: int = 128, lr: float = 1e-3, weight_decay: float = 1e-2,
+                 dropout: float = 0.1, clip_grad: float = 1.0, seed: int = 42):
+        self.hidden = tuple(hidden)
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.lr = lr
+        self.weight_decay = weight_decay
+        self.dropout = dropout
+        self.clip_grad = clip_grad
+        self.seed = seed
+        self.params = None
+        self.classes_ = None
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y)
+        self.classes_, y_idx = np.unique(y, return_inverse=True)
+        n_classes = len(self.classes_)
+        dims = (X.shape[1], *self.hidden, n_classes)
+        key = jax.random.key(self.seed)
+        key, init_key = jax.random.split(key)
+        params = _init_params(init_key, dims)
+        tx = optax.chain(optax.clip_by_global_norm(self.clip_grad),
+                         optax.adamw(self.lr, weight_decay=self.weight_decay))
+        opt_state = tx.init(params)
+        dropout = self.dropout
+
+        @jax.jit
+        def step(params, opt_state, xb, yb, key):
+            def loss_fn(p):
+                logits = _forward(p, xb, True, key, dropout)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yb).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        n = X.shape[0]
+        bs = min(self.batch_size, n)
+        rng = np.random.RandomState(self.seed)
+        for _ in range(self.epochs):
+            perm = rng.permutation(n)
+            for s in range(0, n - bs + 1, bs):
+                idx = perm[s:s + bs]
+                key, sub = jax.random.split(key)
+                params, opt_state, _ = step(params, opt_state,
+                                            jnp.asarray(X[idx]), jnp.asarray(y_idx[idx]), sub)
+        self.params = params
+        return self
+
+    def predict_proba(self, X):
+        X = jnp.asarray(np.asarray(X, np.float32))
+        logits = _forward(self.params, X, False)
+        return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+    def predict(self, X):
+        return self.classes_[self.predict_proba(X).argmax(axis=1)]
+
+    def score(self, X, y):
+        return float((self.predict(X) == np.asarray(y)).mean())
+
+
+class KNNClassifier:
+    """On-device k-NN (replaces sklearn KNeighborsClassifier in the
+    two-sample tests, /root/reference/src/distribution_distances.py:172-201)."""
+
+    def __init__(self, n_neighbors: int = 5):
+        self.k = n_neighbors
+
+    def fit(self, X, y):
+        self.X = jnp.asarray(np.asarray(X, np.float32))
+        y = np.asarray(y)
+        self.classes_, self.y_idx = np.unique(y, return_inverse=True)
+        return self
+
+    def predict(self, X):
+        from gemm_gan_tpu.eval.knn_pr import _pairwise_l2sq
+
+        d = _pairwise_l2sq(jnp.asarray(np.asarray(X, np.float32)), self.X)
+        _, idx = jax.lax.top_k(-d, self.k)
+        votes = self.y_idx[np.asarray(idx)]
+        n_classes = len(self.classes_)
+        counts = np.apply_along_axis(
+            lambda r: np.bincount(r, minlength=n_classes), 1, votes)
+        return self.classes_[counts.argmax(axis=1)]

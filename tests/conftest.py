@@ -1,0 +1,55 @@
+"""Test config: force CPU with a virtual 8-device mesh BEFORE jax imports.
+
+This substitutes for the absent distributed-test story in the reference
+(SURVEY.md §4): DP/TP sharding paths are exercised on fake devices.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(42)
+
+
+@pytest.fixture(scope="session")
+def tiny_data():
+    from gemm_gan_tpu.data.synthetic import synthetic_dataset
+
+    return synthetic_dataset(n=48, n_genes=24, n_classes=3, n_sites=2,
+                             num_patches=8, patch_dim=16, num_tokens=6,
+                             text_dim=12, seed=1)
+
+
+def tiny_cfg(variant, **overrides):
+    import dataclasses
+
+    from gemm_gan_tpu.config import variant_config
+
+    fusion_kw = dict(cond_dim=16, text_dim=12, patch_dim=16, ff_dim=32,
+                     num_heads=2, num_layers=1, n_disease_types=3,
+                     n_primary_sites=2, use_pallas=False)
+    fusion_kw.update(overrides.pop("fusion_kw", {}))
+    train_kw = dict(n_critic=2)  # keep the unrolled fused step cheap to compile
+    train_kw.update(overrides.pop("train_kw", {}))
+    cfg = variant_config(variant, n_genes=24, fusion_kw=fusion_kw, **overrides)
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, gen_dims=(32, 32), disc_dims=(32, 32),
+                                  latent_dim=16, vae_latent_dim=8,
+                                  vae_encoder_dims=(32,), vae_decoder_dims=(32,)),
+        train=dataclasses.replace(cfg.train, **train_kw),
+    )
+
+
+@pytest.fixture(scope="session")
+def make_tiny_cfg():
+    return tiny_cfg

@@ -1,0 +1,86 @@
+"""Data layer: split law, normalization guards, loader determinism
+(reference behaviors: /root/reference/src/data_loader.py:11-98,122-155)."""
+
+import numpy as np
+
+from gemm_gan_tpu.data.loader import Batches
+from gemm_gan_tpu.data.splits import (
+    drop_mostly_zero_genes,
+    minmax,
+    split_indices,
+    standardize,
+)
+
+
+def test_split_64_16_20():
+    tr, va, te = split_indices(1000, seed=42)
+    assert len(te) == 200
+    assert len(va) == 160
+    assert len(tr) == 640
+    all_idx = np.sort(np.concatenate([tr, va, te]))
+    np.testing.assert_array_equal(all_idx, np.arange(1000))
+
+
+def test_split_seeded():
+    a = split_indices(100, seed=7)
+    b = split_indices(100, seed=7)
+    c = split_indices(100, seed=8)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_standardize_train_stats_and_zero_variance(rng):
+    train = rng.randn(50, 5).astype(np.float32)
+    train[:, 3] = 2.0  # constant gene
+    test = rng.randn(20, 5).astype(np.float32)
+    (tr, te), (mean, std) = standardize(train, test)
+    np.testing.assert_allclose(tr.mean(0)[:3], 0.0, atol=1e-5)
+    np.testing.assert_allclose(tr.std(0)[:3], 1.0, atol=1e-4)
+    # constant gene -> 0 everywhere (reference fillna(0))
+    np.testing.assert_allclose(tr[:, 3], 0.0)
+    np.testing.assert_allclose(te[:, 3], 0.0)
+    # test normalized with TRAIN stats
+    np.testing.assert_allclose(te[:, 0], (test[:, 0] - mean[0]) / std[0], rtol=1e-5)
+
+
+def test_minmax(rng):
+    train = rng.rand(30, 4).astype(np.float32)
+    (tr,), _ = minmax(train)
+    assert tr.min() >= 0 and tr.max() <= 1
+
+
+def test_drop_mostly_zero_genes():
+    x = np.zeros((10, 3), np.float32)
+    x[:, 0] = 1.0          # 0% zeros, keep
+    x[0, 1] = 1.0          # 90% zeros, keep (<= threshold)
+    # gene 2: 100% zeros, drop
+    out, keep = drop_mostly_zero_genes(x, threshold=0.9)
+    np.testing.assert_array_equal(keep, [True, True, False])
+    assert out.shape == (10, 2)
+
+
+def test_batches_deterministic_per_epoch(tiny_data):
+    a = Batches(tiny_data, batch_size=8, seed=5)
+    b = Batches(tiny_data, batch_size=8, seed=5)
+    for ba, bb in zip(a.epoch(0), b.epoch(0)):
+        np.testing.assert_array_equal(ba["genes"], bb["genes"])
+    # different epochs shuffle differently
+    first_a = next(iter(a.epoch(0)))["genes"]
+    first_b = next(iter(a.epoch(1)))["genes"]
+    assert not np.array_equal(first_a, first_b)
+
+
+def test_batches_drop_remainder(tiny_data):
+    loader = Batches(tiny_data, batch_size=7, seed=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 48 // 7
+    assert all(b["genes"].shape[0] == 7 for b in batches)
+
+
+def test_batches_process_sharding(tiny_data):
+    shards = [Batches(tiny_data, batch_size=4, seed=3, process_index=i,
+                      process_count=2, shuffle=False) for i in range(2)]
+    seen = np.concatenate([b["genes"] for s in shards for b in s.epoch(0)])
+    assert seen.shape[0] == 48  # disjoint cover
+    assert len(np.unique(seen.sum(1))) == 48

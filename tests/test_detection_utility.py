@@ -1,0 +1,92 @@
+"""Detection harness, metric orchestrator, utility evaluator, heatmap."""
+
+import numpy as np
+import pytest
+
+from gemm_gan_tpu.eval.detection import (
+    compute_evaluation_metrics,
+    detection,
+    tissues_classification,
+)
+from gemm_gan_tpu.eval.utility import (
+    UtilityEvaluator,
+    UtilityEvaluatorPrimary,
+    save_run_artifacts,
+)
+
+
+def test_detection_separable_vs_identical(rng):
+    real = rng.randn(80, 10).astype(np.float32)
+    fake_far = real + 10.0
+    res = detection(real, fake_far, rng.randn(40, 10).astype(np.float32),
+                    rng.randn(40, 10).astype(np.float32) + 10.0)
+    assert res["LR"]["accuracy"] > 0.9  # trivially separable
+    real2 = rng.randn(80, 10).astype(np.float32)
+    res2 = detection(real, real2, rng.randn(40, 10).astype(np.float32),
+                     rng.randn(40, 10).astype(np.float32))
+    assert abs(res2["LR"]["accuracy"] - 0.5) < 0.25  # near chance
+    for clf in ("LR", "MLP", "RF"):
+        assert set(res[clf]) == {"accuracy", "f1", "auc"}
+
+
+def test_compute_evaluation_metrics_keys(rng):
+    real = rng.randn(60, 12).astype(np.float32)
+    gen = (real + 0.5 * rng.randn(60, 12)).astype(np.float32)
+    out = compute_evaluation_metrics(real, gen, real[:30], gen[:30],
+                                     nn=5, n_components=8)
+    for k in ("KNN results", "Logistic results", "Random Forest",
+              "precision", "recall", "density", "coverage",
+              "precision_test", "precision_PCA", "KNN PCA results"):
+        assert k in out, k
+
+
+def test_tissues_classification(rng):
+    X = rng.randn(90, 8).astype(np.float32)
+    y = rng.randint(0, 3, 90)
+    X[y == 1] += 4.0
+    X[y == 2] -= 4.0
+    res = tissues_classification(X, y, X + 0.01, y)
+    assert res["RF"]["accuracy"] > 0.8
+
+
+def test_utility_evaluator_roundtrip(tmp_path, rng):
+    n_genes = 6
+    for run in range(2):
+        y = rng.randint(0, 2, 40)
+        X = rng.randn(40, n_genes).astype(np.float32) + 3.0 * y[:, None]
+        arrays = {
+            "data_real": X, "data_gen": X + 0.1,
+            "test_real": X, "test_gen": X + 0.1,
+            "train_labels_real": y, "train_labels_gen": y,
+            "test_labels_real": y, "test_labels_gen": y,
+            "train_labels_primary_site_real": y, "train_labels_primary_site_gen": y,
+            "test_labels_primary_site_real": y, "test_labels_primary_site_gen": y,
+        }
+        save_run_artifacts(str(tmp_path / f"test_{run}_epoch_5"), arrays)
+
+    ev = UtilityEvaluator(str(tmp_path), mlp_epochs=10)
+    ev.evaluate()
+    rep = ev.report()
+    assert set(rep) == {"TRTR", "TSTR", "TR+TSR"}
+    mean, std = rep["TRTR"]["RandomForest"]["Accuracy"]
+    assert mean > 0.8  # labels trivially predictable from shifted gaussians
+
+    evp = UtilityEvaluatorPrimary(str(tmp_path), mlp_epochs=10)
+    evp.evaluate()
+    rep = evp.report()
+    assert rep["TSTR"]["MLP"]["F1"][0] > 0.5
+
+
+def test_heatmap_evaluator(rng, tmp_path):
+    from gemm_gan_tpu.eval.heatmap import CorrelationEvaluator
+
+    real = rng.randn(50, 8).astype(np.float32)
+    ev_same = CorrelationEvaluator(real, real.copy())
+    assert ev_same.mse() == pytest.approx(0.0, abs=1e-10)
+    gen = rng.randn(50, 8).astype(np.float32)
+    ev_diff = CorrelationEvaluator(real, gen)
+    assert ev_diff.mse() > ev_same.mse()
+    path = ev_diff.plot_diff(str(tmp_path / "h.png"))
+    import os
+
+    assert os.path.exists(path)

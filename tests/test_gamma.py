@@ -1,0 +1,75 @@
+"""Golden tests for the gamma correlation score (reference formulas:
+/root/reference/src/corr_score.py:20-120)."""
+
+import numpy as np
+import pytest
+
+from gemm_gan_tpu.eval.gamma import (
+    correlations_list,
+    gamma_coef,
+    gamma_coef_np,
+    pearson_correlation,
+    upper_diag_list,
+)
+
+
+def _ref_standardize(a):
+    mean = np.mean(a, axis=0)
+    std = np.std(a, axis=0)
+    s = (a - mean) / std
+    s[np.isnan(s)] = (a - mean)[np.isnan(s)]
+    return s
+
+
+def test_upper_diag_list_order():
+    m = np.arange(16, dtype=float).reshape(4, 4)
+    out = upper_diag_list(m)
+    np.testing.assert_allclose(out, [1, 2, 3, 6, 7, 11])
+
+
+def test_pearson_matches_manual(rng):
+    x = rng.randn(30, 7)
+    y = rng.randn(30, 5)
+    got = pearson_correlation(x, y)
+    want = np.dot(_ref_standardize(x).T, _ref_standardize(y)) / x.shape[0]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pearson_zero_variance_guard(rng):
+    x = rng.randn(20, 4)
+    x[:, 2] = 3.0  # constant gene
+    got = pearson_correlation(x, x)
+    assert np.isfinite(got).all()
+    # constant column standardizes to centered = 0 -> zero correlations
+    np.testing.assert_allclose(got[2, :], 0.0, atol=1e-12)
+
+
+def test_gamma_jax_matches_numpy(rng):
+    x = rng.randn(40, 25).astype(np.float32)
+    y = (x + 0.5 * rng.randn(40, 25)).astype(np.float32)
+    np.testing.assert_allclose(gamma_coef(x, y), gamma_coef_np(x, y),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gamma_blocking_invariance(rng):
+    x = rng.randn(30, 37).astype(np.float32)
+    y = rng.randn(30, 37).astype(np.float32)
+    a = gamma_coef(x, y, block=8)
+    b = gamma_coef(x, y, block=64)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_gamma_self_is_one(rng):
+    x = rng.randn(50, 20).astype(np.float32)
+    assert gamma_coef(x, x) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_gamma_uncorrelated_is_small(rng):
+    x = rng.randn(200, 30).astype(np.float32)
+    y = rng.randn(200, 30).astype(np.float32)
+    assert abs(gamma_coef(x, y)) < 0.35
+
+
+def test_correlations_list_shape(rng):
+    x = rng.randn(10, 6)
+    assert correlations_list(x, x).shape == (15,)

@@ -1,0 +1,63 @@
+"""Pallas flash-attention kernel vs jnp reference (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemm_gan_tpu.kernels import flash_attention as fa
+
+
+def _rand_qkv(rng, B=2, H=2, Lq=16, Lk=24, D=8):
+    q = jnp.asarray(rng.randn(B, H, Lq, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32))
+    lens = rng.randint(1, Lk + 1, B)
+    mask = jnp.asarray(np.arange(Lk)[None, :] < lens[:, None])
+    return q, k, v, mask
+
+
+def test_reference_masks_keys(rng):
+    q, k, v, mask = _rand_qkv(rng)
+    out1 = fa.mha_reference(q, k, v, mask)
+    k2 = jnp.where(mask[:, None, :, None], k, 1e3)
+    v2 = jnp.where(mask[:, None, :, None], v, -1e3)
+    out2 = fa.mha_reference(q, k2, v2, mask)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_reference_matches_softmax(rng):
+    q, k, v, _ = _rand_qkv(rng, Lk=8)
+    out = fa.mha_reference(q, k, v, None)
+    logits = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) / np.sqrt(8)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", w, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("Lq,Lk", [(16, 24), (128, 128), (130, 260)])
+def test_flash_kernel_matches_reference_interpret(rng, Lq, Lk, monkeypatch):
+    """Run the Pallas kernel in interpreter mode (no TPU in CI) and compare."""
+    q, k, v, mask = _rand_qkv(rng, Lq=Lq, Lk=Lk)
+    want = fa.mha_reference(q, k, v, mask)
+
+    orig = fa.pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp_call)
+    got = fa.flash_mha.__wrapped__(q, k, v, mask, scale=None, block_q=64, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fully_masked_rows_are_zero(rng):
+    q, k, v, _ = _rand_qkv(rng, B=1, Lk=8)
+    mask = jnp.zeros((1, 8), dtype=bool)
+    out = fa.mha_reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)

@@ -1,0 +1,51 @@
+"""Privacy metric goldens (reference formulas:
+/root/reference/src/privacy_evaluator.py:9-66)."""
+
+import numpy as np
+
+from gemm_gan_tpu.eval.privacy import dcr, nndr, retrieval_accuracy
+
+
+def _dcr_np(real, gen, test):
+    d_real = np.sqrt(((gen[:, None] - real) ** 2).sum(2)).min(1)
+    d_test = np.sqrt(((gen[:, None] - test) ** 2).sum(2)).min(1)
+    return (d_real < d_test).mean()
+
+
+def _nndr_np(real, gen, test):
+    def ratio(ref):
+        d = np.sort(np.sqrt(((gen[:, None] - ref) ** 2).sum(2)), axis=1)
+        return d[:, 0] / d[:, 1]
+
+    return (ratio(real) < ratio(test)).mean()
+
+
+def test_dcr_matches_numpy(rng):
+    real = rng.randn(40, 6).astype(np.float32)
+    test = rng.randn(30, 6).astype(np.float32)
+    gen = rng.randn(25, 6).astype(np.float32)
+    np.testing.assert_allclose(dcr(real, gen, test), _dcr_np(real, gen, test))
+
+
+def test_nndr_matches_numpy(rng):
+    real = rng.randn(40, 6).astype(np.float32)
+    test = rng.randn(30, 6).astype(np.float32)
+    gen = rng.randn(25, 6).astype(np.float32)
+    np.testing.assert_allclose(nndr(real, gen, test), _nndr_np(real, gen, test))
+
+
+def test_dcr_memorization_detected(rng):
+    real = rng.randn(40, 6).astype(np.float32)
+    test = rng.randn(40, 6).astype(np.float32)
+    gen = real[:20] + 1e-5  # memorized training data
+    assert dcr(real, gen, test) == 1.0
+
+
+def test_retrieval_accuracy_perfect_alignment(rng):
+    # gallery embeddings = query embeddings -> top-1 retrieval is self
+    n, d = 20, 8
+    emb = rng.randn(n, d).astype(np.float32)
+    labels = rng.randint(0, 3, n)
+    patches = [emb[i:i + 1] for i in range(n)]  # one patch per case
+    acc_img, acc_txt = retrieval_accuracy(emb, labels, labels, patches, emb)
+    assert acc_img == 1.0 and acc_txt == 1.0
