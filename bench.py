@@ -1,0 +1,167 @@
+"""Headline benchmark: fused WGAN-GP steps/sec on the flagship model.
+
+Measures the full GeMM-GAN variant (FiLM + patch CLS transformer +
+bidirectional CLS cross-attention, canonical config: batch 8, 18,868 genes,
+256x1024 patches, 300x768 text tokens, n_critic=5, GP double-backward —
+reference defaults /root/reference/src/conditional_gan_concat.py:1025-1069)
+as ONE jitted XLA step, against a PyTorch-CPU re-measurement of the
+reference's training-step semantics (the reference publishes no numbers,
+BASELINE.md; the denominator is measured here, not copied).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+B = 8
+N_GENES = 18868
+N_PATCHES = 256
+PATCH_DIM = 1024
+N_TOKENS = 300
+TEXT_DIM = 768
+LATENT = 256
+N_CRITIC = 5
+
+
+def _batch(rng):
+    return {
+        "genes": rng.randn(B, N_GENES).astype(np.float32),
+        "tokens": rng.randn(B, N_TOKENS, TEXT_DIM).astype(np.float32),
+        "token_mask": np.ones((B, N_TOKENS), dtype=bool),
+        "patches": rng.randn(B, N_PATCHES, PATCH_DIM).astype(np.float32),
+        "patch_mask": np.ones((B, N_PATCHES), dtype=bool),
+    }
+
+
+# --------------------------------------------------------------------- torch
+def torch_baseline_steps_per_sec(n_steps: int = 3) -> float:
+    """Reference-semantics WGAN-GP step (5 critic + GP + 1 gen) in torch CPU."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+
+    class Fusion(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.film = nn.Linear(TEXT_DIM, 2 * PATCH_DIM)
+            self.text_proj = nn.Linear(TEXT_DIM, 256)
+            self.patch_proj = nn.Sequential(
+                nn.Linear(PATCH_DIM, 256), nn.ReLU(), nn.LayerNorm(256))
+            self.cls = nn.Parameter(torch.zeros(1, 1, 256))
+            layer = nn.TransformerEncoderLayer(256, 4, 512, 0.1, batch_first=True)
+            self.encoder = nn.TransformerEncoder(layer, 2)
+            self.p2t = nn.MultiheadAttention(256, 4, batch_first=True)
+            self.t2p = nn.MultiheadAttention(256, 4, batch_first=True)
+
+        def forward(self, tokens, token_mask, patches, patch_mask):
+            gb = self.film(tokens[:, 0])
+            gamma, beta = gb.chunk(2, -1)
+            patches = torch.tanh(gamma)[:, None] * patches + \
+                torch.clamp(beta, -5, 5)[:, None]
+            t = self.text_proj(tokens)
+            p = self.patch_proj(patches)
+            p = torch.cat([self.cls.expand(p.shape[0], -1, -1), p], 1)
+            pad = torch.cat([torch.zeros(p.shape[0], 1, dtype=torch.bool),
+                             ~patch_mask], 1)
+            p = self.encoder(p, src_key_padding_mask=pad)
+            a_t, _ = self.p2t(t[:, :1], p, p, key_padding_mask=pad)
+            a_p, _ = self.t2p(p[:, :1], t, t, key_padding_mask=~token_mask)
+            return (a_t[:, 0] + a_p[:, 0])
+
+    def mlp(in_dim, out_dim):
+        return nn.Sequential(nn.Linear(in_dim, 256), nn.ReLU(),
+                             nn.Linear(256, 256), nn.ReLU(),
+                             nn.Linear(256, out_dim))
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fusion = Fusion()
+            self.trunk = mlp(LATENT + 256, N_GENES)
+
+        def forward(self, z, *cond):
+            return self.trunk(torch.cat([z, self.fusion(*cond)], -1))
+
+    class D(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fusion = Fusion()
+            self.trunk = mlp(N_GENES + 256, 1)
+
+        def forward(self, x, *cond):
+            return self.trunk(torch.cat([x, self.fusion(*cond)], -1))
+
+    gen, disc = G(), D()
+    og = torch.optim.RMSprop(gen.parameters(), lr=5e-4)
+    od = torch.optim.RMSprop(disc.parameters(), lr=5e-4)
+    rng = np.random.RandomState(0)
+    b = _batch(rng)
+    real = torch.from_numpy(b["genes"])
+    cond = (torch.from_numpy(b["tokens"]), torch.from_numpy(b["token_mask"]),
+            torch.from_numpy(b["patches"]), torch.from_numpy(b["patch_mask"]))
+
+    def step():
+        for _ in range(N_CRITIC):
+            z = torch.randn(B, LATENT)
+            fake = gen(z, *cond).detach()
+            d_real = disc(real, *cond)
+            d_fake = disc(fake, *cond)
+            alpha = torch.rand(B, 1)
+            interp = (alpha * real + (1 - alpha) * fake).requires_grad_(True)
+            d_i = disc(interp, *cond)
+            g = torch.autograd.grad(d_i.sum(), interp, create_graph=True)[0]
+            gp = ((g.norm(2, dim=1) - 1) ** 2).mean()
+            loss = d_fake.mean() - d_real.mean() + 10.0 * gp
+            od.zero_grad(); loss.backward(); od.step()
+        z = torch.randn(B, LATENT)
+        gl = -disc(gen(z, *cond), *cond).mean()
+        og.zero_grad(); gl.backward(); og.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    return n_steps / (time.perf_counter() - t0)
+
+
+# ----------------------------------------------------------------------- jax
+def jax_steps_per_sec(n_steps: int = 20) -> float:
+    import jax
+
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    cfg = variant_config("film_cross_attention", n_genes=N_GENES)
+    eng = WGANGPEngine(cfg, steps_per_epoch=100)
+    rng = np.random.RandomState(0)
+    batch = {k: jax.device_put(v) for k, v in _batch(rng).items()}
+    state = eng.init_state(0, batch)
+    state, m = eng.step(state, batch)  # compile + warmup
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = eng.step(state, batch)
+    jax.block_until_ready(m)
+    return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    base = torch_baseline_steps_per_sec()
+    ours = jax_steps_per_sec()
+    print(json.dumps({
+        "metric": "wgan_gp_flagship_steps_per_sec",
+        "value": round(ours, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(ours / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,20 +78,31 @@ def wasserstein(x0, x1, method: Optional[str] = None, reg: float = 0.05,
                 power: int = 2) -> float:
     """1- or 2-Wasserstein between samples (parity:
     distribution_distances.py:299-346): uniform marginals, L2 cost (squared
-    for power=2), sqrt of the cost for power=2."""
+    for power=2), sqrt of the cost for power=2.
+
+    The exact path builds the cost matrix on host in float64 via true
+    pairwise differences: the Gram-trick ``x²+y²-2xy`` in float32 suffers
+    catastrophic cancellation (diag errors up to ~0.2 for x vs x), which
+    corrupts the optimum.
+    """
     assert power in (1, 2)
-    x0 = jnp.asarray(x0, jnp.float32).reshape(x0.shape[0], -1)
-    x1 = jnp.asarray(x1, jnp.float32).reshape(x1.shape[0], -1)
-    M = _cdist(x0, x1)
-    if power == 2:
-        M = M ** 2
     a = np.full(x0.shape[0], 1.0 / x0.shape[0])
     b = np.full(x1.shape[0], 1.0 / x1.shape[0])
     if method == "sinkhorn":
+        x0j = jnp.asarray(x0, jnp.float32).reshape(x0.shape[0], -1)
+        x1j = jnp.asarray(x1, jnp.float32).reshape(x1.shape[0], -1)
+        M = _cdist(x0j, x1j)
+        if power == 2:
+            M = M ** 2
         ret = float(sinkhorn_cost(M, jnp.asarray(a, jnp.float32),
                                   jnp.asarray(b, jnp.float32), reg=reg))
     else:
-        ret = emd2(a, b, np.asarray(M))
+        h0 = np.asarray(x0, np.float64).reshape(x0.shape[0], -1)
+        h1 = np.asarray(x1, np.float64).reshape(x1.shape[0], -1)
+        M = np.sqrt(np.sum((h0[:, None, :] - h1[None, :, :]) ** 2, axis=-1))
+        if power == 2:
+            M = M ** 2
+        ret = emd2(a, b, M)
     return math.sqrt(ret) if power == 2 else ret
 
 
@@ -127,7 +138,9 @@ def mix_rbf_mmd2(X, Y, sigma_list=(1.0, 2.0, 4.0, 8.0, 16.0), biased: bool = Tru
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
     K_XX, K_XY, K_YY, _ = _mix_rbf_kernel(X, Y, sigma_list)
-    return float(_mmd2(K_XX, K_XY, K_YY, const_diagonal=False, biased=biased))
+    val = float(_mmd2(K_XX, K_XY, K_YY, const_diagonal=False, biased=biased))
+    # the biased estimator is >= 0 analytically; clamp fp cancellation noise
+    return max(val, 0.0) if biased else val
 
 
 def _mmd2(K_XX, K_XY, K_YY, const_diagonal=False, biased=False):

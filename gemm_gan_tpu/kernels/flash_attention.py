@@ -1,4 +1,4 @@
-"""Masked multi-head attention: Pallas flash kernel + jnp reference.
+"""Masked multi-head attention: Pallas flash kernels (fwd + bwd) + jnp reference.
 
 The reference runs `nn.MultiheadAttention` / `nn.TransformerEncoder` with
 key-padding masks over <=256 patch tokens and <=300 text tokens
@@ -9,13 +9,19 @@ whole-slide patch counts (10k+) where materializing the attention matrix
 would blow VMEM/HBM — a capability the reference lacks (it random-subsamples
 patches instead, src/multi_patch_gan_dataloader.py:32-35).
 
+A custom VJP pairs the forward kernel with flash backward kernels (dQ and
+dK/dV passes over saved logsumexp), so the Pallas path also runs inside the
+fused WGAN-GP training step — including through the gradient-penalty
+grad-of-grad, which falls back to the jnp reference at second order.
+
 Masks are boolean with **True = valid** (the reference inverts HF masks into
 torch's True=pad convention, src/multi_patch_multi_token_gan_dataloader.py:46-47;
 we standardize on True=valid everywhere and document the inversion at the
 data boundary).
 
-`masked_mha` dispatches to the kernel on TPU and to the jnp reference
-elsewhere (and always under `jax.grad` until the backward kernel lands).
+`masked_mha` dispatches to the kernel on TPU for Lq >= MIN_PALLAS_LQ (the
+patch self-attention path); tiny-query (CLS) cross-attentions use the jnp
+reference, whose materialized matrices are negligible at Lq ~ 1.
 """
 
 from __future__ import annotations
@@ -24,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pltpu only resolves on TPU builds
@@ -32,6 +39,8 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 _NEG_INF = -1e30
+MIN_PALLAS_LQ = 128  # below this the jnp reference is faster and tile-friendlier
+_INTERPRET = False  # tests flip this to run kernels on CPU in interpret mode
 
 
 def mha_reference(q, k, v, kv_mask=None, scale=None):
@@ -56,8 +65,9 @@ def mha_reference(q, k, v, kv_mask=None, scale=None):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch,
-                  *, scale, num_k_blocks):
+# ------------------------------------------------------------------- forward
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                m_scratch, l_scratch, acc_scratch, *, scale, num_k_blocks):
     """One (batch*head, q_block, k_block) grid step of flash attention.
 
     Grid iterates k blocks innermost; running max/denominator live in scratch
@@ -94,10 +104,82 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, ac
 
     @pl.when(ik == num_k_blocks - 1)
     def _finish():
-        denom = jnp.maximum(l_scratch[:], 1e-30)
-        o_ref[0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
+        l = jnp.maximum(l_scratch[:], 1e-30)
+        o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_scratch[:] + jnp.log(l))[:, 0]
 
 
+# ------------------------------------------------------------------ backward
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, acc_scratch, *, scale, num_k_blocks):
+    """dQ pass: grid (BH, n_q, n_k), k innermost, accumulate dQ in scratch."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    mask = mask_ref[0]                                # [1, bk]
+    do = do_ref[0].astype(jnp.float32)                # [bq, D]
+    lse = lse_ref[0][:, None]                         # [bq, 1]
+    delta = delta_ref[0][:, None]                     # [bq, 1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jnp.exp(s - lse)                              # [bq, bk]
+    p = jnp.where(mask, p, 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bq, bk]
+    ds = p * (dp - delta) * scale
+    acc_scratch[:] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _finish():
+        dq_ref[0] = acc_scratch[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scratch, dv_scratch, *, scale, num_q_blocks):
+    """dK/dV pass: grid (BH, n_k, n_q), q innermost, accumulate in scratch."""
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[0].astype(jnp.float32)                  # [bq, D]
+    k = k_ref[0].astype(jnp.float32)                  # [bk, D]
+    v = v_ref[0].astype(jnp.float32)                  # [bk, D]
+    mask = mask_ref[0]                                # [1, bk]
+    do = do_ref[0].astype(jnp.float32)                # [bq, D]
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+    p = jnp.where(mask, p, 0.0)                       # [bq, bk]
+    dv_scratch[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale                     # [bq, bk]
+    dk_scratch[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _finish():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+# ------------------------------------------------------------------ plumbing
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -107,65 +189,165 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "scale"))
-def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 128, block_k: int = 128):
-    """Pallas blockwise masked attention. Shapes as `mha_reference`."""
-    if pltpu is None:
-        raise RuntimeError("Pallas TPU backend unavailable")
+def _prep(q, k, v, kv_mask, block_q, block_k):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
-    if scale is None:
-        scale = D ** -0.5
     if kv_mask is None:
         kv_mask = jnp.ones((B, Lk), dtype=bool)
-
-    bq = min(block_q, max(8, Lq))
-    bk = min(block_k, max(128, Lk))
+    bq = min(block_q, -(-Lq // 8) * 8)
+    bk = min(block_k, -(-Lk // 128) * 128)
     Lq_p = -(-Lq // bq) * bq
     Lk_p = -(-Lk // bk) * bk
     qp = _pad_to(q, Lq_p, 2).reshape(B * H, Lq_p, D)
     kp = _pad_to(k, Lk_p, 2).reshape(B * H, Lk_p, D)
     vp = _pad_to(v, Lk_p, 2).reshape(B * H, Lk_p, D)
     maskp = _pad_to(kv_mask, Lk_p, 1)[:, None, :]  # [B, 1, Lk_p]
+    return qp, kp, vp, maskp, bq, bk, Lq_p, Lk_p
 
-    n_q = Lq_p // bq
-    n_k = Lk_p // bk
-    grid = (B * H, n_q, n_k)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, num_k_blocks=n_k),
+def _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H):
+    BH, Lq_p, D = qp.shape
+    Lk_p = kp.shape[1]
+    n_q, n_k = Lq_p // bq, Lk_p // bk
+    grid = (BH, n_q, n_k)
+    kw = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
+    scratch = ([] if pltpu is None else [
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, D), jnp.float32),
+    ])
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, num_k_blocks=n_k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda bh, iq, ik: (bh, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda bh, iq, ik: (bh, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk), lambda bh, iq, ik, h=H: (bh // h, 0, ik),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
+            pl.BlockSpec((1, bk, D), lambda bh, iq, ik: (bh, ik, 0), **kw),
+            pl.BlockSpec((1, bk, D), lambda bh, iq, ik: (bh, ik, 0), **kw),
+            pl.BlockSpec((1, 1, bk), lambda bh, iq, ik, h=H: (bh // h, 0, ik), **kw),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Lq_p, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, D), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
+            pl.BlockSpec((1, bq), lambda bh, iq, ik: (bh, iq), **kw),
         ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lq_p, D), qp.dtype),
+            jax.ShapeDtypeStruct((BH, Lq_p), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Lq_p * Lk_p * D,
+            flops=4 * BH * Lq_p * Lk_p * D,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=B * H * Lq_p * Lk_p,
+            transcendentals=BH * Lq_p * Lk_p,
         ),
     )(qp, kp, vp, maskp)
-    return out.reshape(B, H, Lq_p, D)[:, :, :Lq, :]
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_core(q, k, v, kv_mask, scale, block_q, block_k):
+    out, _ = _flash_core_fwd(q, k, v, kv_mask, scale, block_q, block_k)
+    return out
+
+
+def _flash_core_fwd(q, k, v, kv_mask, scale, block_q, block_k):
+    B, H, Lq, D = q.shape
+    qp, kp, vp, maskp, bq, bk, Lq_p, Lk_p = _prep(q, k, v, kv_mask, block_q, block_k)
+    out, lse = _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H)
+    o = out.reshape(B, H, Lq_p, D)[:, :, :Lq, :]
+    return o, (q, k, v, kv_mask, o, lse)
+
+
+def _flash_core_bwd(scale, block_q, block_k, res, do):
+    q, k, v, kv_mask, o, lse = res
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    qp, kp, vp, maskp, bq, bk, Lq_p, Lk_p = _prep(q, k, v, kv_mask, block_q, block_k)
+    dop = _pad_to(do, Lq_p, 2).reshape(B * H, Lq_p, D)
+    # delta_i = sum_d dO_i O_i (padded rows contribute 0)
+    delta = jnp.sum(dop.astype(jnp.float32)
+                    * _pad_to(o, Lq_p, 2).reshape(B * H, Lq_p, D).astype(jnp.float32),
+                    axis=-1)                                   # [BH, Lq_p]
+    BH = B * H
+    n_q, n_k = Lq_p // bq, Lk_p // bk
+    kw = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, num_k_blocks=n_k),
+        grid=(BH, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
+            pl.BlockSpec((1, bk, D), lambda bh, iq, ik: (bh, ik, 0), **kw),
+            pl.BlockSpec((1, bk, D), lambda bh, iq, ik: (bh, ik, 0), **kw),
+            pl.BlockSpec((1, 1, bk), lambda bh, iq, ik, h=H: (bh // h, 0, ik), **kw),
+            pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
+            pl.BlockSpec((1, bq), lambda bh, iq, ik: (bh, iq), **kw),
+            pl.BlockSpec((1, bq), lambda bh, iq, ik: (bh, iq), **kw),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq_p, D), q.dtype),
+        scratch_shapes=([] if pltpu is None else [pltpu.VMEM((bq, D), jnp.float32)]),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, maskp, dop, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, num_q_blocks=n_q),
+        grid=(BH, n_k, n_q),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda bh, ik, iq: (bh, iq, 0), **kw),
+            pl.BlockSpec((1, bk, D), lambda bh, ik, iq: (bh, ik, 0), **kw),
+            pl.BlockSpec((1, bk, D), lambda bh, ik, iq: (bh, ik, 0), **kw),
+            pl.BlockSpec((1, 1, bk), lambda bh, ik, iq, h=H: (bh // h, 0, ik), **kw),
+            pl.BlockSpec((1, bq, D), lambda bh, ik, iq: (bh, iq, 0), **kw),
+            pl.BlockSpec((1, bq), lambda bh, ik, iq: (bh, iq), **kw),
+            pl.BlockSpec((1, bq), lambda bh, ik, iq: (bh, iq), **kw),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, D), lambda bh, ik, iq: (bh, ik, 0), **kw),
+            pl.BlockSpec((1, bk, D), lambda bh, ik, iq: (bh, ik, 0), **kw),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lk_p, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, Lk_p, D), v.dtype),
+        ],
+        scratch_shapes=([] if pltpu is None else [
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ]),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, maskp, dop, lse, delta)
+
+    dq = dq.reshape(B, H, Lq_p, D)[:, :, :Lq, :]
+    dk = dk.reshape(B, H, Lk_p, D)[:, :, :Lk, :]
+    dv = dv.reshape(B, H, Lk_p, D)[:, :, :Lk, :]
+    dmask = (None if kv_mask is None
+             else np.zeros(kv_mask.shape, dtype=jax.dtypes.float0))
+    return dq, dk, dv, dmask
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 128,
+              block_k: int = 128):
+    """Pallas blockwise masked attention (differentiable, custom VJP).
+
+    Shapes as `mha_reference`.
+    """
+    if pltpu is None and not _INTERPRET:
+        raise RuntimeError("Pallas TPU backend unavailable")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if kv_mask is None:
+        kv_mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
+    return _flash_core(q, k, v, kv_mask, float(scale), block_q, block_k)
 
 
 def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True):
-    """Dispatch: Pallas kernel on TPU outside autodiff, jnp reference otherwise."""
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if use_pallas and on_tpu and pltpu is not None:
+    """Dispatch: Pallas kernel on TPU for non-tiny query lengths, else jnp."""
+    on_tpu = jax.default_backend() == "tpu"
+    if (use_pallas and q.shape[2] >= MIN_PALLAS_LQ
+            and (_INTERPRET or (on_tpu and pltpu is not None))):
         try:
             return flash_mha(q, k, v, kv_mask, scale=scale)
         except Exception:

@@ -195,6 +195,7 @@ class WGANGPEngine:
         """Real/fake pairs over a whole loader (parity:
         /root/reference/src/conditional_gan_concat.py:453-560)."""
         reals, fakes, diseases, sites = [], [], [], []
+        batches = list(batches)  # callers may pass a one-shot iterator
         for _ in range(num_repeats):
             for batch in batches:
                 key, sub = jax.random.split(key)

@@ -41,19 +41,41 @@ def test_reference_matches_softmax(rng):
 @pytest.mark.parametrize("Lq,Lk", [(16, 24), (128, 128), (130, 260)])
 def test_flash_kernel_matches_reference_interpret(rng, Lq, Lk, monkeypatch):
     """Run the Pallas kernel in interpreter mode (no TPU in CI) and compare."""
+    monkeypatch.setattr(fa, "_INTERPRET", True)
     q, k, v, mask = _rand_qkv(rng, Lq=Lq, Lk=Lk)
     want = fa.mha_reference(q, k, v, mask)
-
-    orig = fa.pl.pallas_call
-
-    def interp_call(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
-
-    monkeypatch.setattr(fa.pl, "pallas_call", interp_call)
-    got = fa.flash_mha.__wrapped__(q, k, v, mask, scale=None, block_q=64, block_k=128)
+    got = fa.flash_mha(q, k, v, mask, scale=None, block_q=64, block_k=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("Lq,Lk", [(16, 24), (130, 260)])
+def test_flash_backward_matches_reference_interpret(rng, Lq, Lk, monkeypatch):
+    """Custom-VJP flash gradients (dq, dk, dv) vs autodiff of the reference."""
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    q, k, v, mask = _rand_qkv(rng, Lq=Lq, Lk=Lk)
+    cot = jnp.asarray(np.random.RandomState(7).randn(*q.shape[:2], Lq,
+                                                     q.shape[-1]).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_mha(q, k, v, mask, block_q=64, block_k=128) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fa.mha_reference(q, k, v, mask) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_masked_mha_dispatches_small_query_to_reference(rng):
+    """CLS-style (Lq=1) queries must use the jnp path even with use_pallas."""
+    q, k, v, mask = _rand_qkv(rng, Lq=1, Lk=24)
+    out = fa.masked_mha(q, k, v, mask, use_pallas=True)
+    want = fa.mha_reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
 
 
 def test_fully_masked_rows_are_zero(rng):

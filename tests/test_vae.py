@@ -40,17 +40,19 @@ def test_elbo_beta_scales_kl(rng):
 
 @pytest.mark.parametrize("variant", ["vae", "cvae"])
 def test_engine_trains_and_samples(variant, tiny_data, make_tiny_cfg):
-    cfg = make_tiny_cfg(variant)
+    cfg = make_tiny_cfg(variant,
+                        train_kw=dict(vae_lr=3e-3, vae_warmup_epochs=1))
     eng = VAEEngine(cfg, steps_per_epoch=2)
     loader = Batches(tiny_data, batch_size=8, seed=0)
     batch = next(iter(loader))
     state = eng.init_state(0, batch)
     losses = []
-    for _ in range(8):
+    for _ in range(20):
         state, m = eng.step(state, batch)
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
-    assert losses[-1] < losses[0]  # learning on a fixed batch
+    # ELBO is stochastic (fresh reparam key per step); compare averaged ends
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
     if variant == "cvae":
         out = eng.sample(state, jax.random.key(0),
                          disease=batch["disease"], site=batch["site"])
