@@ -1,0 +1,200 @@
+"""Flax ModernBERT (clinical text encoder).
+
+Capability parity with the reference's `Simonlee711/Clinical_ModernBERT`
+usage: encode LLM-generated clinical descriptions to a 768-d CLS vector or
+per-token last-hidden-state (/root/reference/src/preprocessing/
+save_text_embeddings.py:30-54, save_text_token_embeddings.py). From-scratch
+Flax implementation of the ModernBERT architecture (Answer.AI/LightOn):
+
+  * token embedding -> LayerNorm (no bias) -> layers -> final LayerNorm;
+  * pre-norm residual layers; layer 0 has no attention pre-norm;
+  * fused-QKV attention, no biases, RoPE applied to q/k;
+  * alternating attention: global every `global_every` layers (theta 160k),
+    sliding-window +-local_window/2 otherwise (theta 10k);
+  * GeGLU MLP: Wi -> split (input, gate) -> gelu(input) * gate -> Wo.
+
+Weights are converted from the published torch checkpoint
+(`convert_modernbert_state_dict`), never ported code. Parity is tested
+against `transformers.ModernBertModel` on random tiny configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ModernBertParams:
+    """Defaults = ModernBERT-base (the Clinical ModernBERT architecture)."""
+
+    vocab_size: int = 50368
+    hidden_size: int = 768
+    intermediate_size: int = 1152
+    num_layers: int = 22
+    num_heads: int = 12
+    global_every: int = 3
+    local_window: int = 128
+    global_rope_theta: float = 160000.0
+    local_rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+
+
+def _rope_cos_sin(L: int, D: int, theta: float):
+    inv_freq = 1.0 / (theta ** (np.arange(0, D, 2, dtype=np.float32) / D))
+    pos = np.arange(L, dtype=np.float32)
+    freqs = np.outer(pos, inv_freq)                      # [L, D/2]
+    emb = np.concatenate([freqs, freqs], axis=-1)        # [L, D]
+    return jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+
+
+def _rotate_half(x):
+    d = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., d:], x[..., :d]], axis=-1)
+
+
+def _apply_rope(q, k, cos, sin):
+    # q, k: [B, H, L, D]; cos/sin: [L, D]
+    cos = cos[None, None]
+    sin = sin[None, None]
+    return q * cos + _rotate_half(q) * sin, k * cos + _rotate_half(k) * sin
+
+
+class _Attention(nn.Module):
+    p: ModernBertParams
+    layer_id: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        p = self.p
+        H, E = p.num_heads, p.hidden_size
+        D = E // H
+        B, L, _ = x.shape
+        is_global = (self.layer_id % p.global_every == 0)
+        theta = p.global_rope_theta if is_global else p.local_rope_theta
+
+        qkv = nn.Dense(3 * E, use_bias=False, dtype=self.dtype, name="Wqkv")(x)
+        qkv = qkv.reshape(B, L, 3, H, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        cos, sin = _rope_cos_sin(L, D, theta)
+        q, k = _apply_rope(q, k, cos, sin)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (D ** -0.5)
+        allow = mask[:, None, None, :]                     # padding: True=valid
+        if not is_global:
+            idx = jnp.arange(L)
+            near = jnp.abs(idx[:, None] - idx[None, :]) <= p.local_window // 2
+            allow = allow & near[None, None]
+        logits = jnp.where(allow, logits, -1e30)
+        w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+        return nn.Dense(E, use_bias=False, dtype=self.dtype, name="Wo")(out)
+
+
+class _Layer(nn.Module):
+    p: ModernBertParams
+    layer_id: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        p = self.p
+        h = x if self.layer_id == 0 else nn.LayerNorm(
+            epsilon=p.norm_eps, use_bias=False, dtype=jnp.float32,
+            name="attn_norm")(x)
+        x = x + _Attention(p, self.layer_id, dtype=self.dtype, name="attn")(h, mask)
+        h = nn.LayerNorm(epsilon=p.norm_eps, use_bias=False, dtype=jnp.float32,
+                         name="mlp_norm")(x)
+        wi = nn.Dense(2 * p.intermediate_size, use_bias=False, dtype=self.dtype,
+                      name="Wi")(h)
+        inp, gate = jnp.split(wi, 2, axis=-1)
+        h = nn.gelu(inp, approximate=False) * gate
+        h = nn.Dense(p.hidden_size, use_bias=False, dtype=self.dtype,
+                     name="Wo")(h)
+        return x + h
+
+
+class FlaxModernBert(nn.Module):
+    """(input_ids [B, L] int32, attention_mask [B, L] bool True=valid) ->
+    last_hidden_state [B, L, E]. CLS vector = output[:, 0]."""
+
+    p: ModernBertParams = ModernBertParams()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None):
+        p = self.p
+        if attention_mask is None:
+            attention_mask = jnp.ones(input_ids.shape, dtype=bool)
+        emb = nn.Embed(p.vocab_size, p.hidden_size, dtype=self.dtype,
+                       name="tok_embeddings")(input_ids)
+        x = nn.LayerNorm(epsilon=p.norm_eps, use_bias=False, dtype=jnp.float32,
+                         name="emb_norm")(emb)
+        for i in range(p.num_layers):
+            x = _Layer(p, i, dtype=self.dtype, name=f"layer_{i}")(x, attention_mask)
+        return nn.LayerNorm(epsilon=p.norm_eps, use_bias=False,
+                            dtype=jnp.float32, name="final_norm")(x)
+
+
+# ------------------------------------------------------------ weight loading
+def _t(w) -> np.ndarray:
+    return np.asarray(w, dtype=np.float32)
+
+
+def _dense_nb(sd, key) -> Dict[str, np.ndarray]:
+    return {"kernel": _t(sd[key]).T}
+
+
+def _ln_nb(sd, key) -> Dict[str, np.ndarray]:
+    return {"scale": _t(sd[key])}
+
+
+def convert_modernbert_state_dict(sd: Dict[str, Any],
+                                  p: Optional[ModernBertParams] = None) -> Dict:
+    """HF `ModernBertModel` state dict -> FlaxModernBert params pytree."""
+    p = p or ModernBertParams()
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+    params: Dict[str, Any] = {
+        "tok_embeddings": {
+            "embedding": _t(sd[f"{pre}embeddings.tok_embeddings.weight"])},
+        "emb_norm": _ln_nb(sd, f"{pre}embeddings.norm.weight"),
+        "final_norm": _ln_nb(sd, f"{pre}final_norm.weight"),
+    }
+    for i in range(p.num_layers):
+        b = f"{pre}layers.{i}"
+        layer: Dict[str, Any] = {
+            "attn": {"Wqkv": _dense_nb(sd, f"{b}.attn.Wqkv.weight"),
+                     "Wo": _dense_nb(sd, f"{b}.attn.Wo.weight")},
+            "mlp_norm": _ln_nb(sd, f"{b}.mlp_norm.weight"),
+            "Wi": _dense_nb(sd, f"{b}.mlp.Wi.weight"),
+            "Wo": _dense_nb(sd, f"{b}.mlp.Wo.weight"),
+        }
+        if i != 0:
+            layer["attn_norm"] = _ln_nb(sd, f"{b}.attn_norm.weight")
+        params[f"layer_{i}"] = layer
+    return params
+
+
+def params_from_config(cfg) -> ModernBertParams:
+    """Build ModernBertParams from a transformers ModernBertConfig."""
+    return ModernBertParams(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_layers=cfg.num_hidden_layers,
+        num_heads=cfg.num_attention_heads,
+        global_every=cfg.global_attn_every_n_layers,
+        local_window=cfg.local_attention,
+        global_rope_theta=cfg.global_rope_theta,
+        local_rope_theta=(cfg.local_rope_theta if cfg.local_rope_theta is not None
+                          else cfg.global_rope_theta),
+        norm_eps=cfg.norm_eps,
+    )

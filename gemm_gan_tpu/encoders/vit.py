@@ -1,0 +1,227 @@
+"""Flax Vision Transformer in the timm layout (UNI patch encoder).
+
+Capability parity with the reference's UNI usage: timm
+`vision_transformer` ViT-L/16 with class token, learned position embeddings
+and LayerScale, loaded from `hf-hub:MahmoodLab/uni` and run over 224x224
+tissue tiles to produce 1024-d patch embeddings
+(/root/reference/src/download_and_preprocess_data.py:321-323,
+src/preprocess_embeddings.py:88-92). This is a from-scratch Flax
+implementation; weights are *converted* from the published torch checkpoints
+(timm or HF naming), never ported code.
+
+Design: fused-QKV attention (one [H, 3H] matmul feeding the MXU), bf16-able
+compute dtype with f32 layernorms, static shapes, jit-friendly throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTParams:
+    """Architecture hyperparameters. Defaults = ViT-L/16 (UNI)."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    layerscale_init: Optional[float] = 1e-5  # UNI uses LayerScale; None disables
+    norm_eps: float = 1e-6
+    qkv_bias: bool = True
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+
+class _Attention(nn.Module):
+    p: ViTParams
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H = self.p.num_heads
+        E = self.p.hidden_size
+        D = E // H
+        B, L, _ = x.shape
+        qkv = nn.Dense(3 * E, use_bias=self.p.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, L, 3, H, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (D ** -0.5)
+        w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+        return nn.Dense(E, dtype=self.dtype, name="proj")(out)
+
+
+class _Block(nn.Module):
+    p: ViTParams
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.p
+        h = nn.LayerNorm(epsilon=p.norm_eps, dtype=jnp.float32, name="norm1")(x)
+        h = _Attention(p, dtype=self.dtype, name="attn")(h)
+        if p.layerscale_init is not None:
+            ls1 = self.param("ls1", nn.initializers.constant(p.layerscale_init),
+                             (p.hidden_size,))
+            h = h * ls1
+        x = x + h
+        h = nn.LayerNorm(epsilon=p.norm_eps, dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(int(p.hidden_size * p.mlp_ratio), dtype=self.dtype,
+                     name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(p.hidden_size, dtype=self.dtype, name="fc2")(h)
+        if p.layerscale_init is not None:
+            ls2 = self.param("ls2", nn.initializers.constant(p.layerscale_init),
+                             (p.hidden_size,))
+            h = h * ls2
+        return x + h
+
+
+class FlaxViT(nn.Module):
+    """images [B, H, W, 3] (NHWC, preprocessed) -> CLS embedding [B, E].
+
+    `pool`: 'cls' returns the class-token embedding (UNI's output); 'none'
+    returns the full token sequence [B, 1+N, E].
+    """
+
+    p: ViTParams = ViTParams()
+    pool: str = "cls"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        p = self.p
+        B = images.shape[0]
+        x = nn.Conv(p.hidden_size, (p.patch_size, p.patch_size),
+                    strides=(p.patch_size, p.patch_size), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(images)
+        x = x.reshape(B, -1, p.hidden_size)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, p.hidden_size))
+        x = jnp.concatenate([jnp.tile(cls.astype(x.dtype), (B, 1, 1)), x], axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, 1 + p.num_patches, p.hidden_size))
+        x = x + pos.astype(x.dtype)
+        for i in range(p.num_layers):
+            x = _Block(p, dtype=self.dtype, name=f"block_{i}")(x)
+        x = nn.LayerNorm(epsilon=p.norm_eps, dtype=jnp.float32, name="norm")(x)
+        if self.pool == "cls":
+            return x[:, 0]
+        return x
+
+
+# ------------------------------------------------------------ weight loading
+def _t(w) -> np.ndarray:
+    a = np.asarray(w, dtype=np.float32)
+    return a
+
+
+def _dense(sd, prefix) -> Dict[str, np.ndarray]:
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _ln(sd, prefix) -> Dict[str, np.ndarray]:
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def convert_timm_vit_state_dict(sd: Dict[str, Any], p: ViTParams) -> Dict:
+    """timm `vision_transformer` state dict (the UNI checkpoint layout) ->
+    FlaxViT params pytree. Keys: patch_embed.proj, cls_token, pos_embed,
+    blocks.N.{norm1,attn.qkv,attn.proj,ls1.gamma,norm2,mlp.fc1,mlp.fc2,ls2.gamma},
+    norm."""
+    params: Dict[str, Any] = {
+        # torch conv weight [E, 3, k, k] -> flax [k, k, 3, E]
+        "patch_embed": {
+            "kernel": _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": _t(sd["cls_token"]),
+        "pos_embed": _t(sd["pos_embed"]),
+        "norm": _ln(sd, "norm"),
+    }
+    for i in range(p.num_layers):
+        b = f"blocks.{i}"
+        blk: Dict[str, Any] = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "attn": {"qkv": _dense(sd, f"{b}.attn.qkv"),
+                     "proj": _dense(sd, f"{b}.attn.proj")},
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "fc2": _dense(sd, f"{b}.mlp.fc2"),
+        }
+        if p.layerscale_init is not None:
+            blk["ls1"] = _t(sd[f"{b}.ls1.gamma"])
+            blk["ls2"] = _t(sd[f"{b}.ls2.gamma"])
+        params[f"block_{i}"] = blk
+    return params
+
+
+def convert_hf_vit_state_dict(sd: Dict[str, Any], p: ViTParams) -> Dict:
+    """HF `ViTModel` state dict -> FlaxViT params (q/k/v fused into qkv).
+
+    Used for parity testing against `transformers.ViTModel` (no LayerScale;
+    build ViTParams with layerscale_init=None).
+    """
+    pre = "vit." if any(k.startswith("vit.") for k in sd) else ""
+    emb = f"{pre}embeddings"
+    enc = f"{pre}encoder.layer"
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _t(sd[f"{emb}.patch_embeddings.projection.weight"]
+                         ).transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"{emb}.patch_embeddings.projection.bias"]),
+        },
+        "cls_token": _t(sd[f"{emb}.cls_token"]),
+        "pos_embed": _t(sd[f"{emb}.position_embeddings"]),
+        "norm": _ln(sd, f"{pre}layernorm"),
+    }
+    for i in range(p.num_layers):
+        b = f"{enc}.{i}"
+        att = f"{b}.attention.attention"
+        qw = _t(sd[f"{att}.query.weight"])
+        kw = _t(sd[f"{att}.key.weight"])
+        vw = _t(sd[f"{att}.value.weight"])
+        qkv_w = np.concatenate([qw, kw, vw], axis=0).T  # [E, 3E]
+        qkv = {"kernel": qkv_w}
+        if f"{att}.query.bias" in sd:
+            qkv["bias"] = np.concatenate([
+                _t(sd[f"{att}.query.bias"]), _t(sd[f"{att}.key.bias"]),
+                _t(sd[f"{att}.value.bias"])])
+        params[f"block_{i}"] = {
+            "norm1": _ln(sd, f"{b}.layernorm_before"),
+            "attn": {"qkv": qkv,
+                     "proj": _dense(sd, f"{b}.attention.output.dense")},
+            "norm2": _ln(sd, f"{b}.layernorm_after"),
+            "fc1": _dense(sd, f"{b}.intermediate.dense"),
+            "fc2": _dense(sd, f"{b}.output.dense"),
+        }
+    return params
+
+
+# UNI preprocessing constants (timm default transform for the UNI config:
+# resize 224, ImageNet mean/std — reference relies on
+# `timm.data.create_transform` at src/download_and_preprocess_data.py:323).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def preprocess_tiles(tiles_uint8: np.ndarray) -> np.ndarray:
+    """[N, H, W, 3] uint8 RGB -> normalized float32 NHWC."""
+    x = tiles_uint8.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
