@@ -58,11 +58,22 @@ class Experiment:
         self.cfg = cfg
         self.splits = splits
         t = cfg.train
-        self.loaders = {
-            name: Batches(splits[name], t.batch_size, seed=t.seed,
-                          shuffle=(name == "train"))
-            for name in ("train", "val", "test") if name in splits
-        }
+        if cfg.data.cache_on_device and mesh is None:
+            # HBM-resident cache: jitted gathers + fresh on-device patch
+            # subsampling per step (SURVEY.md §7 decision 2). With a mesh the
+            # host path is kept — batches get resharded by the engine.
+            from gemm_gan_tpu.data.device_cache import DeviceCache
+
+            def make(name):
+                return DeviceCache(splits[name], t.batch_size,
+                                   num_patches=cfg.data.num_patches,
+                                   seed=t.seed, shuffle=(name == "train"))
+        else:
+            def make(name):
+                return Batches(splits[name], t.batch_size, seed=t.seed,
+                               shuffle=(name == "train"))
+        self.loaders = {name: make(name)
+                        for name in ("train", "val", "test") if name in splits}
         self.engine = WGANGPEngine(cfg, steps_per_epoch=len(self.loaders["train"]),
                                    mesh=mesh)
         self.out_dir = os.path.join(cfg.output_dir, cfg.run_name)

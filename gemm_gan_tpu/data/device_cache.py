@@ -1,0 +1,95 @@
+"""HBM-resident dataset cache with on-device batch assembly.
+
+SURVEY.md §7 key decision 2: the reference re-reads each case's patch npy
+from disk on every `__getitem__` and random-subsamples 256 patches per item
+per epoch (/root/reference/src/multi_patch_gan_dataloader.py:31-39). Here the
+full (padded) embedding bank lives in HBM once; every batch is a jitted
+gather, and the per-item patch subsampling runs on device with a threaded
+PRNG key — fresh subsets every step (matching the reference's sampling
+semantics, which the host preload in `tcga.load_tcga` freezes), zero host
+work, bitwise reproducible.
+
+Subsampling: draw U(0,1) scores per patch slot, push invalid slots to +2,
+take the `num_patches` smallest via `lax.top_k` of the negated scores — a
+uniform random subset without replacement among the valid slots.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("num_patches",))
+def _subsample_patches(patches, mask, key, num_patches: int):
+    scores = jax.random.uniform(key, mask.shape)
+    scores = jnp.where(mask, scores, 2.0)
+    _, sel = jax.lax.top_k(-scores, num_patches)          # [B, num_patches]
+    sub = jnp.take_along_axis(patches, sel[..., None], axis=1)
+    sub_mask = jnp.take_along_axis(mask, sel, axis=1)
+    return sub * sub_mask[..., None], sub_mask
+
+
+class DeviceCache:
+    """Device-resident analogue of `Batches` (same epoch/iter contract)."""
+
+    def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
+                 num_patches: Optional[int] = None, seed: int = 42,
+                 shuffle: bool = True, drop_remainder: bool = True,
+                 sharding=None):
+        n = len(next(iter(data.values())))
+        for k, v in data.items():
+            assert len(v) == n, f"length mismatch for {k}"
+        put = (lambda v: jax.device_put(v, sharding)) if sharding is not None \
+            else jax.device_put
+        self.arrays = {k: put(np.asarray(v)) for k, v in data.items()}
+        self.n = n
+        self.batch_size = batch_size
+        self.num_patches = num_patches
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+        self._key = jax.random.key(seed)
+
+        arrays = self.arrays
+        resample = (num_patches is not None and "patches" in arrays
+                    and arrays["patches"].shape[1] > num_patches)
+
+        @jax.jit
+        def assemble(idx, key):
+            batch = {k: jnp.take(a, idx, axis=0) for k, a in arrays.items()}
+            if resample:
+                batch["patches"], batch["patch_mask"] = _subsample_patches(
+                    batch["patches"], batch["patch_mask"], key,
+                    num_patches=num_patches)
+            return batch
+
+        self._assemble = assemble
+
+    def __len__(self):
+        if self.drop_remainder:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[Dict[str, jax.Array]]:
+        e = self._epoch if epoch is None else epoch
+        if epoch is None:
+            self._epoch += 1
+        idx = np.arange(self.n)
+        if self.shuffle:
+            idx = np.random.RandomState(self.seed + e).permutation(idx)
+        stop = (self.n // self.batch_size) * self.batch_size \
+            if self.drop_remainder else self.n
+        ekey = jax.random.fold_in(self._key, e)
+        for i, s in enumerate(range(0, stop, self.batch_size)):
+            take = idx[s:s + self.batch_size]
+            yield self._assemble(jnp.asarray(take),
+                                 jax.random.fold_in(ekey, i))
+
+    def __iter__(self):
+        return self.epoch()

@@ -58,19 +58,30 @@ def _case_ids_with_patches(data_dir: str):
     return {f[:-4] for f in os.listdir(d) if f.endswith(".npy")}
 
 
-def _load_patches(data_dir: str, case_ids, num_patches: int, seed: int):
-    """Dense [N, P, D] patch cache + True=valid mask, seeded subsample/pad."""
+def _load_patches(data_dir: str, case_ids, num_patches: int, seed: int,
+                  bank: bool = False):
+    """Dense [N, P, D] patch cache + True=valid mask.
+
+    bank=False: seeded one-time subsample/pad to `num_patches` (host loader).
+    bank=True: keep ALL patches padded to the cohort max (capped at
+    4*num_patches) so `DeviceCache` can draw a FRESH subset per step on
+    device, matching the reference's per-__getitem__ resampling
+    (multi_patch_gan_dataloader.py:31-39).
+    """
     rng = np.random.RandomState(seed)
     base = os.path.join(data_dir, "patch_embeddings_uni")
-    first = np.load(os.path.join(base, f"{case_ids[0]}.npy"))
-    D = first.shape[1]
-    out = np.zeros((len(case_ids), num_patches, D), np.float32)
-    mask = np.zeros((len(case_ids), num_patches), bool)
+    loaded = {cid: np.load(os.path.join(base, f"{cid}.npy")).astype(np.float32)
+              for cid in case_ids}
+    D = next(iter(loaded.values())).shape[1]
+    P = (min(max(p.shape[0] for p in loaded.values()), 4 * num_patches)
+         if bank else num_patches)
+    out = np.zeros((len(case_ids), P, D), np.float32)
+    mask = np.zeros((len(case_ids), P), bool)
     for i, cid in enumerate(case_ids):
-        p = np.load(os.path.join(base, f"{cid}.npy")).astype(np.float32)
+        p = loaded[cid]
         k = p.shape[0]
-        if k >= num_patches:
-            sel = rng.choice(k, num_patches, replace=False)
+        if k > P:
+            sel = rng.choice(k, P, replace=False)
             out[i] = p[sel]
             mask[i] = True
         else:
@@ -115,11 +126,13 @@ def _encode_labels(metainfos: dict, case_ids) -> Tuple[np.ndarray, np.ndarray, l
 def load_tcga(data_dir: str, schema: str = "genes", num_patches: int = 256,
               max_tokens: int = 300, normalization: str = "standardize",
               zero_gene_threshold: float = 0.9, seed: int = 42,
-              save_gene_names: bool = True) -> Dict:
+              save_gene_names: bool = True, patch_bank: bool = False) -> Dict:
     """Assemble splits for a batch schema: genes|multi_patch|multi_token|labels.
 
     Returns {"train": dict, "val": dict, "test": dict, "meta": dict}; every
     split dict follows the standard batch schema of fusion/modules.py.
+    `patch_bank=True` loads the full padded patch bank (for `DeviceCache`
+    per-step resampling) instead of a one-time host subsample.
     """
     rna = _load_rna(data_dir)
 
@@ -179,7 +192,8 @@ def load_tcga(data_dir: str, schema: str = "genes", num_patches: int = 256,
             splits[s]["tokens"] = tokens[idx]
             splits[s]["token_mask"] = tmask[idx]
     if need_patches:
-        patches, pmask = _load_patches(data_dir, case_ids, num_patches, seed)
+        patches, pmask = _load_patches(data_dir, case_ids, num_patches, seed,
+                                       bank=patch_bank)
         for s, idx in idx_of.items():
             splits[s]["patches"] = patches[idx]
             splits[s]["patch_mask"] = pmask[idx]

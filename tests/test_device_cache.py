@@ -1,0 +1,69 @@
+"""DeviceCache: on-device batch assembly + fresh per-step patch subsampling."""
+
+import jax
+import numpy as np
+import pytest
+
+from gemm_gan_tpu.data.device_cache import DeviceCache, _subsample_patches
+from gemm_gan_tpu.data.loader import Batches
+
+
+def _data(rng, n=24, P=16, D=8):
+    lens = rng.randint(1, P + 1, n)
+    mask = np.arange(P)[None, :] < lens[:, None]
+    patches = rng.randn(n, P, D).astype(np.float32) * mask[..., None]
+    return {
+        "genes": rng.randn(n, 6).astype(np.float32),
+        "patches": patches, "patch_mask": mask,
+        "disease": rng.randint(0, 3, n).astype(np.int32),
+    }
+
+
+def test_matches_host_batches_without_resampling(rng):
+    data = _data(rng)
+    host = Batches(data, batch_size=8, seed=3, shuffle=True)
+    dev = DeviceCache(data, batch_size=8, seed=3, shuffle=True)
+    for hb, db in zip(host.epoch(5), dev.epoch(5)):
+        for k in hb:
+            np.testing.assert_array_equal(hb[k], np.asarray(db[k]), err_msg=k)
+
+
+def test_subsample_selects_only_valid(rng):
+    P, num = 16, 4
+    data = _data(rng, n=8, P=P)
+    sub, sub_mask = _subsample_patches(
+        jax.numpy.asarray(data["patches"]), jax.numpy.asarray(data["patch_mask"]),
+        jax.random.key(0), num)
+    sub, sub_mask = np.asarray(sub), np.asarray(sub_mask)
+    assert sub.shape == (8, num, 8)
+    for i in range(8):
+        n_valid = data["patch_mask"][i].sum()
+        # selected count = min(valid, num); the rest masked + zeroed
+        assert sub_mask[i].sum() == min(n_valid, num)
+        assert np.allclose(sub[i][~sub_mask[i]], 0.0)
+        # every selected row must come from the valid set
+        valid_rows = data["patches"][i][data["patch_mask"][i]]
+        for row in sub[i][sub_mask[i]]:
+            assert any(np.allclose(row, vr) for vr in valid_rows)
+
+
+def test_resampling_is_fresh_per_step_and_reproducible(rng):
+    data = _data(rng, n=16, P=16)
+    dev = DeviceCache(data, batch_size=8, num_patches=4, seed=0, shuffle=False)
+    e0 = [np.asarray(b["patches"]) for b in dev.epoch(0)]
+    e1 = [np.asarray(b["patches"]) for b in dev.epoch(1)]
+    assert not np.allclose(e0[0], e1[0])  # fresh subsets across epochs
+    e0b = [np.asarray(b["patches"]) for b in dev.epoch(0)]
+    np.testing.assert_array_equal(e0[0], e0b[0])  # same epoch -> bitwise same
+
+
+def test_engine_accepts_device_cache_batches(tiny_data, make_tiny_cfg):
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    cfg = make_tiny_cfg("film")
+    dev = DeviceCache(tiny_data, batch_size=8, num_patches=4, seed=0)
+    eng = WGANGPEngine(cfg, steps_per_epoch=len(dev))
+    batch = next(iter(dev))
+    state = eng.init_state(0, batch)
+    state, m = eng.step(state, batch)
+    assert np.isfinite(float(m["d_loss"]))

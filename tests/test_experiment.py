@@ -1,0 +1,99 @@
+"""End-to-end Experiment protocol: fit -> validation evals -> test dumps ->
+checkpoint evaluate -> post-hoc utility/privacy (reference protocol
+conditional_gan_concat.py:575-1110 on tiny synthetic data)."""
+
+import dataclasses
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from gemm_gan_tpu.cli.experiment import Experiment
+from gemm_gan_tpu.data.synthetic import synthetic_dataset
+
+
+def _splits(tiny_data):
+    idx = {"train": np.arange(0, 32), "val": np.arange(32, 40),
+           "test": np.arange(40, 48)}
+    out = {s: {k: v[i] for k, v in tiny_data.items()} for s, i in idx.items()}
+    out["meta"] = {"n_genes": 24}
+    return out
+
+
+@pytest.fixture(scope="module")
+def experiment_run(tmp_path_factory):
+    from tests.conftest import tiny_cfg
+
+    tiny_data = synthetic_dataset(n=48, n_genes=24, n_classes=3, n_sites=2,
+                                  num_patches=8, patch_dim=16, num_tokens=6,
+                                  text_dim=12, seed=1)
+    out = str(tmp_path_factory.mktemp("exp"))
+    cfg = tiny_cfg("benchmark", train_kw=dict(
+        n_critic=2, epochs=2, freq_compute_test=1, batch_size=8))
+    cfg = dataclasses.replace(
+        cfg, output_dir=out, run_name="t",
+        eval=dataclasses.replace(cfg.eval, n_runs=2, pca_components=4,
+                                 nearest_k=3))
+    exp = Experiment(cfg, _splits(tiny_data))
+    results = exp.fit()
+    return exp, results
+
+
+def test_fit_produces_summary_and_val_history(experiment_run):
+    exp, results = experiment_run
+    assert np.isfinite(results["gamma_mean"])
+    assert len(results["runs"]) == 2
+    # freq_compute_test=1 with 2 epochs -> one validation eval (last epoch
+    # goes to the test block instead)
+    assert len(exp.val_metrics_history) == 1
+    rec = exp.val_metrics_history[0]
+    assert "LR" in rec["detection"] and "precision" in rec["metrics"]
+    assert os.path.exists(os.path.join(exp.out_dir, "validation_metrics.png"))
+
+
+def test_dump_contract(experiment_run):
+    exp, _ = experiment_run
+    dirs = sorted(glob.glob(os.path.join(exp.out_dir, "test_*_epoch_*")))
+    assert len(dirs) == 2
+    want = {"data_real", "data_gen", "test_real", "test_gen",
+            "train_labels_real", "train_labels_gen",
+            "test_labels_real", "test_labels_gen",
+            "train_labels_primary_site_real", "train_labels_primary_site_gen",
+            "test_labels_primary_site_real", "test_labels_primary_site_gen"}
+    got = {os.path.splitext(f)[0] for f in os.listdir(dirs[0])
+           if f.endswith(".npy")}
+    assert want <= got
+    real = np.load(os.path.join(dirs[0], "data_real.npy"))
+    gen = np.load(os.path.join(dirs[0], "data_gen.npy"))
+    assert real.shape == gen.shape and real.shape[1] == 24
+
+
+def test_evaluate_restores_checkpoint(experiment_run):
+    exp, _ = experiment_run
+    results = exp.evaluate()
+    assert np.isfinite(results["gamma_mean"])
+
+
+def test_posthoc_utility_and_privacy(experiment_run):
+    exp, _ = experiment_run
+    util = exp.posthoc_utility()
+    assert "disease" in util and "primary_site" in util
+    # report: {setting: {clf: {metric: (mean, std)}}}
+    assert any("TSTR" in s for s in util["disease"])
+    priv = exp.posthoc_privacy()
+    assert set(priv) == {"dcr", "nndr"}
+    for mean, std in priv.values():
+        assert np.isfinite(mean) and np.isfinite(std)
+
+
+def test_generate_balanced_oversamples(experiment_run):
+    import jax
+
+    exp, _ = experiment_run
+    out = exp.generate_balanced(exp.state, jax.random.key(0))
+    counts = np.bincount(out["disease"])
+    counts = counts[counts > 0]
+    # oversampling narrows the class-count spread vs the raw train split
+    raw = np.bincount(exp.splits["train"]["disease"])
+    assert counts.max() - counts.min() <= raw.max() - raw.min()
