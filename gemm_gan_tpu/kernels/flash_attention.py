@@ -41,6 +41,9 @@ except Exception:  # pragma: no cover
 _NEG_INF = -1e30
 MIN_PALLAS_LQ = 128  # below this the jnp reference is faster and tile-friendlier
 _INTERPRET = False  # tests flip this to run kernels on CPU in interpret mode
+_LANES = 128  # per-row scalars (lse/delta) are broadcast across a lane axis
+# to satisfy the TPU (8, 128) tile constraint, as the official TPU flash
+# attention does (jax pallas ops flash_attention.py MIN_BLOCK_SIZE residuals)
 
 
 def mha_reference(q, k, v, kv_mask=None, scale=None):
@@ -90,23 +93,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                             preferred_element_type=jnp.float32) * scale  # [bq, bk]
     s = jnp.where(mask, s, _NEG_INF)
 
-    m_prev = m_scratch[:]                     # [bq, 1]
+    m_prev = m_scratch[:, :1]                 # [bq, 1] (lane-broadcast store)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp(s - m_new)                    # masked cols: exp(-inf - m) = 0
     p = jnp.where(mask, p, 0.0)
     alpha = jnp.exp(m_prev - m_new)
-    l_new = alpha * l_scratch[:] + jnp.sum(p, axis=-1, keepdims=True)
+    l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot(
         p, v, preferred_element_type=jnp.float32)
-    m_scratch[:] = m_new
-    l_scratch[:] = l_new
+    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
 
     @pl.when(ik == num_k_blocks - 1)
     def _finish():
-        l = jnp.maximum(l_scratch[:], 1e-30)
+        l = jnp.maximum(l_scratch[:, :1], 1e-30)
         o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_scratch[:] + jnp.log(l))[:, 0]
+        lse_ref[0] = jnp.broadcast_to(m_scratch[:, :1] + jnp.log(l),
+                                      lse_ref.shape[1:])
 
 
 # ------------------------------------------------------------------ backward
@@ -124,8 +128,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     v = v_ref[0].astype(jnp.float32)
     mask = mask_ref[0]                                # [1, bk]
     do = do_ref[0].astype(jnp.float32)                # [bq, D]
-    lse = lse_ref[0][:, None]                         # [bq, 1]
-    delta = delta_ref[0][:, None]                     # [bq, 1]
+    lse = lse_ref[0][:, :1]                           # [bq, 1]
+    delta = delta_ref[0][:, :1]                       # [bq, 1]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -157,8 +161,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     v = v_ref[0].astype(jnp.float32)                  # [bk, D]
     mask = mask_ref[0]                                # [1, bk]
     do = do_ref[0].astype(jnp.float32)                # [bq, D]
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -212,8 +216,8 @@ def _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H):
     grid = (BH, n_q, n_k)
     kw = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
     scratch = ([] if pltpu is None else [
-        pltpu.VMEM((bq, 1), jnp.float32),
-        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, _LANES), jnp.float32),
+        pltpu.VMEM((bq, _LANES), jnp.float32),
         pltpu.VMEM((bq, D), jnp.float32),
     ])
     out, lse = pl.pallas_call(
@@ -227,11 +231,11 @@ def _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H):
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
-            pl.BlockSpec((1, bq), lambda bh, iq, ik: (bh, iq), **kw),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, iq, ik: (bh, iq, 0), **kw),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lq_p, D), qp.dtype),
-            jax.ShapeDtypeStruct((BH, Lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Lq_p, _LANES), jnp.float32),
         ],
         scratch_shapes=scratch,
         interpret=_INTERPRET,
@@ -264,10 +268,11 @@ def _flash_core_bwd(scale, block_q, block_k, res, do):
     Lk = k.shape[2]
     qp, kp, vp, maskp, bq, bk, Lq_p, Lk_p = _prep(q, k, v, kv_mask, block_q, block_k)
     dop = _pad_to(do, Lq_p, 2).reshape(B * H, Lq_p, D)
-    # delta_i = sum_d dO_i O_i (padded rows contribute 0)
+    # delta_i = sum_d dO_i O_i (padded rows contribute 0); lane-broadcast
     delta = jnp.sum(dop.astype(jnp.float32)
                     * _pad_to(o, Lq_p, 2).reshape(B * H, Lq_p, D).astype(jnp.float32),
                     axis=-1)                                   # [BH, Lq_p]
+    delta = jnp.broadcast_to(delta[..., None], (B * H, Lq_p, _LANES))
     BH = B * H
     n_q, n_k = Lq_p // bq, Lk_p // bk
     kw = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
@@ -281,8 +286,8 @@ def _flash_core_bwd(scale, block_q, block_k, res, do):
             pl.BlockSpec((1, bk, D), lambda bh, iq, ik: (bh, ik, 0), **kw),
             pl.BlockSpec((1, 1, bk), lambda bh, iq, ik, h=H: (bh // h, 0, ik), **kw),
             pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
-            pl.BlockSpec((1, bq), lambda bh, iq, ik: (bh, iq), **kw),
-            pl.BlockSpec((1, bq), lambda bh, iq, ik: (bh, iq), **kw),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, iq, ik: (bh, iq, 0), **kw),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, iq, ik: (bh, iq, 0), **kw),
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
         out_shape=jax.ShapeDtypeStruct((BH, Lq_p, D), q.dtype),
@@ -299,8 +304,8 @@ def _flash_core_bwd(scale, block_q, block_k, res, do):
             pl.BlockSpec((1, bk, D), lambda bh, ik, iq: (bh, ik, 0), **kw),
             pl.BlockSpec((1, 1, bk), lambda bh, ik, iq, h=H: (bh // h, 0, ik), **kw),
             pl.BlockSpec((1, bq, D), lambda bh, ik, iq: (bh, iq, 0), **kw),
-            pl.BlockSpec((1, bq), lambda bh, ik, iq: (bh, iq), **kw),
-            pl.BlockSpec((1, bq), lambda bh, ik, iq: (bh, iq), **kw),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, ik, iq: (bh, iq, 0), **kw),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, ik, iq: (bh, iq, 0), **kw),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, D), lambda bh, ik, iq: (bh, ik, 0), **kw),
