@@ -132,7 +132,9 @@ def torch_baseline_steps_per_sec(n_steps: int = 3) -> float:
 
 
 # ----------------------------------------------------------------------- jax
-def jax_steps_per_sec(n_steps: int = 20) -> float:
+def jax_steps_per_sec(scan_len: int = 20, n_calls: int = 5) -> float:
+    """Production fit path: `lax.scan` of `scan_len` fused steps per device
+    program (the per-step dispatch path is ~9x slower — latency-bound)."""
     import jax
 
     from gemm_gan_tpu.config import variant_config
@@ -141,15 +143,17 @@ def jax_steps_per_sec(n_steps: int = 20) -> float:
     cfg = variant_config("film_cross_attention", n_genes=N_GENES)
     eng = WGANGPEngine(cfg, steps_per_epoch=100)
     rng = np.random.RandomState(0)
-    batch = {k: jax.device_put(v) for k, v in _batch(rng).items()}
-    state = eng.init_state(0, batch)
-    state, m = eng.step(state, batch)  # compile + warmup
+    batch = _batch(rng)
+    stacked = {k: jax.device_put(np.broadcast_to(v, (scan_len,) + v.shape).copy())
+               for k, v in batch.items()}
+    state = eng.init_state(0, {k: jax.device_put(v) for k, v in batch.items()})
+    state, m = eng.step_many(state, stacked)  # compile + warmup
     jax.block_until_ready(m)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, m = eng.step(state, batch)
+    for _ in range(n_calls):
+        state, m = eng.step_many(state, stacked)
     jax.block_until_ready(m)
-    return n_steps / (time.perf_counter() - t0)
+    return scan_len * n_calls / (time.perf_counter() - t0)
 
 
 def main():

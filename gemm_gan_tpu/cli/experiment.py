@@ -101,7 +101,8 @@ class Experiment:
             return None
 
         state = eng.fit(state, t.epochs, lambda: self.loaders["train"].epoch(),
-                        on_epoch_end=on_epoch_end, logger=self.logger)
+                        on_epoch_end=on_epoch_end, logger=self.logger,
+                        stacked_fn=self.loaders["train"].stacked_epoch)
         self.state = state
         save_state(os.path.join(self.out_dir, "ckpt"), jax.device_get(state))
         self._plot_val_curves()

@@ -93,3 +93,18 @@ class DeviceCache:
 
     def __iter__(self):
         return self.epoch()
+
+    def stacked_epoch(self, epoch: Optional[int] = None) -> Dict[str, jax.Array]:
+        """Whole epoch as one on-device gather [K, B, ...] (for `lax.scan`
+        training: one device program per epoch, zero host dispatch)."""
+        e = self._epoch if epoch is None else epoch
+        if epoch is None:
+            self._epoch += 1
+        idx = np.arange(self.n)
+        if self.shuffle:
+            idx = np.random.RandomState(self.seed + e).permutation(idx)
+        K = len(self)
+        idx = idx[:K * self.batch_size].reshape(K, self.batch_size)
+        ekey = jax.random.fold_in(self._key, e)
+        keys = jax.vmap(lambda i: jax.random.fold_in(ekey, i))(jnp.arange(K))
+        return jax.vmap(self._assemble)(jnp.asarray(idx), keys)

@@ -57,6 +57,12 @@ class Batches:
     def __iter__(self):
         return self.epoch()
 
+    def stacked_epoch(self, epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """One epoch's batches stacked on a leading axis [K, B, ...] for the
+        engine's `lax.scan` multi-step path (one device program per epoch)."""
+        batches = list(self.epoch(epoch))
+        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
     def subset(self, keys) -> "Batches":
         return Batches({k: self.data[k] for k in keys}, self.batch_size,
                        self.seed, self.shuffle, self.drop_remainder,

@@ -91,3 +91,29 @@ def test_generate_samples_all(tiny_data, make_tiny_cfg):
     assert out["real"].shape[0] == n
     assert out["fake"].shape == out["real"].shape
     assert out["disease"].shape[0] == n
+
+
+def test_step_many_matches_sequential(tiny_data, make_tiny_cfg):
+    """lax.scan multi-step must equal K sequential fused steps bitwise."""
+    import jax.numpy as jnp
+
+    cfg = make_tiny_cfg("vanilla")
+    data = {"genes": tiny_data["genes"]}
+    loader = Batches(data, batch_size=8, seed=0, shuffle=False)
+    batches = list(loader.epoch(0))[:3]
+
+    eng1 = WGANGPEngine(cfg, steps_per_epoch=3)
+    s1 = eng1.init_state(0, batches[0])
+    for b in batches:
+        s1, m1 = eng1.step(s1, b)
+
+    eng2 = WGANGPEngine(cfg, steps_per_epoch=3)
+    s2 = eng2.init_state(0, batches[0])
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    s2, m2 = eng2.step_many(s2, stacked)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6,
+                                   err_msg=k)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), s1.g_params, s2.g_params)
