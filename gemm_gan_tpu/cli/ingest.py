@@ -89,7 +89,7 @@ def main(argv=None):
     metainfos = client.case_metadata(index.case_ids())
     write_case_artifacts(index, metainfos, args.out_dir)
 
-    if args.uni_checkpoint and not args.skip_slides:
+    if args.uni_checkpoint and args.tissue_manifests and not args.skip_slides:
         _embed_slides(args, client, index, slide_sel)
     print(json.dumps({"cases": len(index.cases), "out_dir": args.out_dir}))
 
@@ -141,7 +141,9 @@ def _embed_slides(args, client, index, slide_sel):
                           os.path.join(args.out_dir, "patch_embeddings_uni"),
                           max_download_workers=args.max_workers)
     results = pipe.run([c for c in index.case_ids() if c in file_by_case])
-    pipe.write_tiles_info(os.path.join(args.out_dir, "valid_patches.json"))
+    # per-case patch COUNTS (valid_patches.json carries the {case: {size:
+    # boxes}} schema of data/tiles.py — a different artifact)
+    pipe.write_tiles_info(os.path.join(args.out_dir, "tiles_info.json"))
     ok = sum(r.status == "ok" for r in results)
     print(json.dumps({"slides_embedded": ok, "slides_total": len(results)}))
 

@@ -49,12 +49,24 @@ def main(argv=None):
     from gemm_gan_tpu.data.tcga import load_tcga
     from gemm_gan_tpu.parallel.mesh import distributed_init, make_mesh
 
+    import jax
+
     distributed_init()
+    mesh = None
+    if len(jax.devices()) > 1 or args.mesh_model > 1:
+        mesh = make_mesh(args.mesh_data, args.mesh_model)
+
     schema = {"vanilla": "genes", "vae": "genes", "benchmark": "labels",
               "cvae": "labels", "cross_attention": "multi_token",
               "film_cross_attention": "multi_token"}.get(args.variant, "multi_patch")
+    # patch_bank keeps the full padded patch set so DeviceCache can draw a
+    # fresh subset per step on device (reference per-item resampling) — only
+    # when the DeviceCache path will actually engage (single-device, cached).
+    use_device_cache = mesh is None
     splits = load_tcga(args.data_dir, schema=schema, num_patches=args.num_patches,
-                       normalization=args.normalization, seed=args.seed)
+                       normalization=args.normalization, seed=args.seed,
+                       patch_bank=(use_device_cache
+                                   and schema in ("multi_patch", "multi_token")))
     meta = splits["meta"]
 
     fusion_kw = {}
@@ -77,12 +89,6 @@ def main(argv=None):
             optimizer=args.optimizer, lr_gen=args.lr, lr_disc=args.lr,
             seed=args.seed, freq_compute_test=args.freq_compute_test),
     )
-
-    import jax
-
-    mesh = None
-    if len(jax.devices()) > 1 or args.mesh_model > 1:
-        mesh = make_mesh(args.mesh_data, args.mesh_model)
 
     if args.variant in ("vae", "cvae"):
         from gemm_gan_tpu.cli.vae_experiment import VAEExperiment

@@ -70,6 +70,9 @@ class DeviceCache:
             return batch
 
         self._assemble = assemble
+        # one jitted stacked assembler (a fresh vmap per call would retrace
+        # and recompile every epoch)
+        self._assemble_many = jax.jit(jax.vmap(assemble))
 
     def __len__(self):
         if self.drop_remainder:
@@ -103,8 +106,10 @@ class DeviceCache:
         idx = np.arange(self.n)
         if self.shuffle:
             idx = np.random.RandomState(self.seed + e).permutation(idx)
-        K = len(self)
+        # scan requires uniform shapes: a ragged final batch is dropped here
+        # regardless of drop_remainder (the per-batch epoch() keeps it)
+        K = self.n // self.batch_size
         idx = idx[:K * self.batch_size].reshape(K, self.batch_size)
         ekey = jax.random.fold_in(self._key, e)
         keys = jax.vmap(lambda i: jax.random.fold_in(ekey, i))(jnp.arange(K))
-        return jax.vmap(self._assemble)(jnp.asarray(idx), keys)
+        return self._assemble_many(jnp.asarray(idx), keys)

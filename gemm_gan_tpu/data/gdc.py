@@ -60,25 +60,36 @@ class GDCClient:
                 return r.json()
             except Exception as e:  # noqa: BLE001 — retry any transport error
                 err = e
-                time.sleep(self.backoff * (2 ** attempt))
+                if attempt + 1 < self.retries:
+                    time.sleep(self.backoff * (2 ** attempt))
         raise RuntimeError(f"GDC POST {endpoint} failed after "
                            f"{self.retries} attempts: {err}")
 
     def download_file(self, file_id: str, output_path: str) -> bool:
         """Stream one file to disk; False on persistent failure (per-file
-        failures are tolerated upstream, reference download_data.py:91-96)."""
+        failures are tolerated upstream, reference download_data.py:91-96).
+
+        Streams into `<path>.part` and renames on success so a mid-stream
+        drop never leaves a truncated file that idempotent re-runs (which
+        check `os.path.exists`) would treat as complete.
+        """
         url = f"{self.base_url}/data/{file_id}"
+        tmp_path = output_path + ".part"
         for attempt in range(self.retries):
             try:
                 with self.session.get(url, stream=True,
                                       timeout=self.timeout) as r:
                     r.raise_for_status()
-                    with open(output_path, "wb") as f:
+                    with open(tmp_path, "wb") as f:
                         for chunk in r.iter_content(chunk_size=1 << 20):
                             f.write(chunk)
+                os.replace(tmp_path, output_path)
                 return True
             except Exception:  # noqa: BLE001
-                time.sleep(self.backoff * (2 ** attempt))
+                if os.path.exists(tmp_path):
+                    os.remove(tmp_path)
+                if attempt + 1 < self.retries:
+                    time.sleep(self.backoff * (2 ** attempt))
         return False
 
     # ------------------------------------------------------------- endpoints

@@ -59,8 +59,11 @@ class Batches:
 
     def stacked_epoch(self, epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
         """One epoch's batches stacked on a leading axis [K, B, ...] for the
-        engine's `lax.scan` multi-step path (one device program per epoch)."""
-        batches = list(self.epoch(epoch))
+        engine's `lax.scan` multi-step path (one device program per epoch).
+        A ragged final batch (drop_remainder=False) cannot stack and is
+        dropped here — scan requires uniform shapes."""
+        batches = [b for b in self.epoch(epoch)
+                   if len(next(iter(b.values()))) == self.batch_size]
         return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
     def subset(self, keys) -> "Batches":

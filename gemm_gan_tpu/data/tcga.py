@@ -70,15 +70,20 @@ def _load_patches(data_dir: str, case_ids, num_patches: int, seed: int,
     """
     rng = np.random.RandomState(seed)
     base = os.path.join(data_dir, "patch_embeddings_uni")
-    loaded = {cid: np.load(os.path.join(base, f"{cid}.npy")).astype(np.float32)
+
+    def path_of(cid):
+        return os.path.join(base, f"{cid}.npy")
+
+    # header-only pass for shapes (mmap avoids loading every case at once)
+    shapes = {cid: np.load(path_of(cid), mmap_mode="r").shape
               for cid in case_ids}
-    D = next(iter(loaded.values())).shape[1]
-    P = (min(max(p.shape[0] for p in loaded.values()), 4 * num_patches)
+    D = shapes[case_ids[0]][1]
+    P = (min(max(s[0] for s in shapes.values()), 4 * num_patches)
          if bank else num_patches)
     out = np.zeros((len(case_ids), P, D), np.float32)
     mask = np.zeros((len(case_ids), P), bool)
     for i, cid in enumerate(case_ids):
-        p = loaded[cid]
+        p = np.load(path_of(cid)).astype(np.float32)
         k = p.shape[0]
         if k > P:
             sel = rng.choice(k, P, replace=False)

@@ -79,7 +79,12 @@ def ring_mha(q, k, v, kv_mask=None, mesh: Optional[Mesh] = None,
     kv_mask: [B, L] bool True=valid. Self- or cross-attention with Lq == Lk
     per shard (the Q shard attends to every KV shard via the ring).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+        check_kw = {"check_vma": False}
+    except ImportError:  # older jax: experimental API spells the kwarg check_rep
+        from jax.experimental.shard_map import shard_map
+        check_kw = {"check_rep": False}
 
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -100,6 +105,6 @@ def ring_mha(q, k, v, kv_mask=None, mesh: Optional[Mesh] = None,
         mesh=mesh,
         in_specs=(spec, spec, spec, mspec),
         out_specs=spec,
-        check_rep=False,
+        **check_kw,
     )
     return fn(q, k, v, kv_mask)

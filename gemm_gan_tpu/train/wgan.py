@@ -252,6 +252,8 @@ class WGANGPEngine:
         metric evaluation, npy dumps, checkpoints) lives in
         `gemm_gan_tpu.cli.experiment` and plugs in via `on_epoch_end`.
         """
+        if batches_fn is None and stacked_fn is None:
+            raise ValueError("fit() needs batches_fn or stacked_fn")
         history = {"d_loss": [], "g_loss": []}
         for epoch in range(epochs):
             last_metrics = None

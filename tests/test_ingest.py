@@ -305,3 +305,32 @@ def test_ingest_pipeline_end_to_end(tmp_path, rng):
     info_path = str(tmp_path / "tiles_info.json")
     pipe.write_tiles_info(info_path)
     assert json.loads(open(info_path).read())["c1"] == 4
+
+
+def test_download_failure_leaves_no_partial_file(tmp_path):
+    """A mid-stream drop must not leave a truncated file that idempotent
+    re-runs would treat as complete."""
+    from gemm_gan_tpu.data.gdc import GDCClient
+
+    class DropSession:
+        def get(self, url, stream=True, timeout=None):
+            class R:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    return False
+
+                def raise_for_status(self):
+                    pass
+
+                def iter_content(self, chunk_size):
+                    yield b"partial"
+                    raise ConnectionError("dropped")
+            return R()
+
+    client = GDCClient(session=DropSession(), retries=2, backoff=0.0)
+    dest = str(tmp_path / "f.tsv")
+    assert client.download_file("fid", dest) is False
+    assert not os.path.exists(dest)
+    assert not os.path.exists(dest + ".part")
