@@ -19,6 +19,7 @@ import dataclasses
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,15 +106,24 @@ class FlaxViT(nn.Module):
     @nn.compact
     def __call__(self, images):
         p = self.p
-        B = images.shape[0]
+        B, ih, iw, _ = images.shape
         x = nn.Conv(p.hidden_size, (p.patch_size, p.patch_size),
                     strides=(p.patch_size, p.patch_size), padding="VALID",
                     dtype=self.dtype, name="patch_embed")(images)
+        gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(B, -1, p.hidden_size)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, p.hidden_size))
         x = jnp.concatenate([jnp.tile(cls.astype(x.dtype), (B, 1, 1)), x], axis=1)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, 1 + p.num_patches, p.hidden_size))
+        g0 = p.img_size // p.patch_size
+        if (gh, gw) != (g0, g0):
+            # dynamic image size (timm behavior): bilinear-resample the grid
+            # positional embeddings; the CLS position is kept as-is
+            grid = pos[:, 1:].reshape(1, g0, g0, p.hidden_size)
+            grid = jax.image.resize(grid, (1, gh, gw, p.hidden_size), "bilinear")
+            pos = jnp.concatenate(
+                [pos[:, :1], grid.reshape(1, gh * gw, p.hidden_size)], axis=1)
         x = x + pos.astype(x.dtype)
         for i in range(p.num_layers):
             x = _Block(p, dtype=self.dtype, name=f"block_{i}")(x)

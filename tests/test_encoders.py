@@ -123,3 +123,18 @@ def test_modernbert_cls_is_first_token():
     out = m.apply(params, ids)
     assert out.shape == (2, 8, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vit_dynamic_image_size_interpolates_pos_embed():
+    import jax
+
+    from gemm_gan_tpu.encoders.vit import FlaxViT, ViTParams
+
+    p = ViTParams(img_size=32, patch_size=8, hidden_size=16, num_layers=1,
+                  num_heads=2, mlp_ratio=2.0, layerscale_init=None)
+    m = FlaxViT(p)
+    params = m.init(jax.random.key(0), np.zeros((1, 32, 32, 3), np.float32))
+    out224 = m.apply(params, np.zeros((2, 32, 32, 3), np.float32))
+    out_dyn = m.apply(params, np.zeros((2, 48, 48, 3), np.float32))
+    assert out224.shape == out_dyn.shape == (2, 16)
+    assert np.isfinite(np.asarray(out_dyn)).all()
