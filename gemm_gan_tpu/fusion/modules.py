@@ -26,7 +26,7 @@ SURVEY.md §7 "hard parts" #2):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ class _PatchTransformer(nn.Module):
 
     cfg: FusionConfig
     encode_mlp: bool = False  # Linear+ReLU+LayerNorm (img_transformer) vs plain Linear
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -64,6 +65,7 @@ class _PatchTransformer(nn.Module):
         x = TransformerEncoder(
             num_layers=c.num_layers, embed_dim=c.cond_dim, num_heads=c.num_heads,
             ff_dim=c.ff_dim, dropout=c.dropout, use_pallas=c.use_pallas,
+            mesh=self.mesh if c.sequence_parallel else None,
             dtype=self.dtype, name="patches_transformer",
         )(x, mask, deterministic=deterministic)
         return x, mask
@@ -74,6 +76,7 @@ class ConcatFusion(nn.Module):
     (parity: src/conditional_gan_concat.py:129-149)."""
 
     cfg: FusionConfig
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -90,6 +93,7 @@ class PooledAttentionFusion(nn.Module):
     (parity: src/conditional_gan_attention.py:107-125; BatchNorm -> LayerNorm)."""
 
     cfg: FusionConfig
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -109,11 +113,12 @@ class ImageTransformerFusion(nn.Module):
     (parity: src/conditional_gan_img_transformer.py:111-141)."""
 
     cfg: FusionConfig
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, cond, deterministic=True):
-        seq, _ = _PatchTransformer(self.cfg, encode_mlp=True, dtype=self.dtype)(
+        seq, _ = _PatchTransformer(self.cfg, encode_mlp=True, mesh=self.mesh, dtype=self.dtype)(
             cond["patches"], cond["patch_mask"], deterministic)
         return seq[:, 0]
 
@@ -123,6 +128,7 @@ class FiLMFusion(nn.Module):
     (parity: src/conditional_gan_film.py:112,126-148)."""
 
     cfg: FusionConfig
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -130,7 +136,7 @@ class FiLMFusion(nn.Module):
         c = self.cfg
         patches = FiLM(c.patch_dim, beta_clamp=c.film_beta_clamp, dtype=self.dtype,
                        name="film")(cond["text_emb"], cond["patches"])
-        seq, _ = _PatchTransformer(c, dtype=self.dtype)(
+        seq, _ = _PatchTransformer(c, mesh=self.mesh, dtype=self.dtype)(
             patches, cond["patch_mask"], deterministic)
         return seq[:, 0]
 
@@ -142,13 +148,14 @@ class CrossAttentionFusion(nn.Module):
     attn2(Q=attn1 output, KV=text tokens); cond = attn2[:,0] + attn1[:,0]."""
 
     cfg: FusionConfig
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, cond, deterministic=True):
         c = self.cfg
         text = nn.Dense(c.cond_dim, dtype=self.dtype, name="text_encoder")(cond["tokens"])
-        patch_seq, patch_mask = _PatchTransformer(c, dtype=self.dtype)(
+        patch_seq, patch_mask = _PatchTransformer(c, mesh=self.mesh, dtype=self.dtype)(
             cond["patches"], cond["patch_mask"], deterministic)
         p2t = MaskedMultiHeadAttention(
             c.cond_dim, c.num_heads, use_pallas=c.use_pallas, dtype=self.dtype,
@@ -167,6 +174,7 @@ class FiLMCrossAttentionFusion(nn.Module):
     CLS-only-query cross-attention in both directions -> sum of attended CLS."""
 
     cfg: FusionConfig
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -176,7 +184,7 @@ class FiLMCrossAttentionFusion(nn.Module):
         patches = FiLM(c.patch_dim, beta_clamp=c.film_beta_clamp, dtype=self.dtype,
                        name="film")(tokens[:, 0, :], cond["patches"])
         text = nn.Dense(c.cond_dim, dtype=self.dtype, name="text_encoder")(tokens)
-        patch_seq, patch_mask = _PatchTransformer(c, dtype=self.dtype)(
+        patch_seq, patch_mask = _PatchTransformer(c, mesh=self.mesh, dtype=self.dtype)(
             patches, cond["patch_mask"], deterministic)
         p2t = MaskedMultiHeadAttention(
             c.cond_dim, c.num_heads, use_pallas=c.use_pallas, dtype=self.dtype,
@@ -194,6 +202,7 @@ class LabelEmbedFusion(nn.Module):
     concatenated (parity: src/benchmark_generative_model.py:27-35,119-157)."""
 
     cfg: FusionConfig
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -223,7 +232,7 @@ def cond_dim_of(cfg: FusionConfig) -> int:
     return cfg.cond_dim
 
 
-def build_fusion(cfg: FusionConfig, dtype=None, name: str = "fusion"):
+def build_fusion(cfg: FusionConfig, dtype=None, name: str = "fusion", mesh=None):
     if cfg.kind == "none":
         return None
-    return _FUSIONS[cfg.kind](cfg, dtype=dtype, name=name)
+    return _FUSIONS[cfg.kind](cfg, mesh=mesh, dtype=dtype, name=name)

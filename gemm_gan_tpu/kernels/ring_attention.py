@@ -72,12 +72,16 @@ def _ring_body(q, k, v, mask, axis_name: str, n_shards: int, scale: float):
 
 
 def ring_mha(q, k, v, kv_mask=None, mesh: Optional[Mesh] = None,
-             axis: str = "model", scale: Optional[float] = None):
+             axis: str = "model", batch_axis: Optional[str] = None,
+             scale: Optional[float] = None):
     """Sequence-parallel attention: L sharded over `axis` of `mesh`.
 
-    q, k, v: [B, H, L, D] (L divisible by mesh.shape[axis]);
-    kv_mask: [B, L] bool True=valid. Self- or cross-attention with Lq == Lk
-    per shard (the Q shard attends to every KV shard via the ring).
+    q, k, v: [B, H, L, D]; kv_mask: [B, L] bool True=valid. Self- or
+    cross-attention with Lq == Lk per shard (the Q shard attends to every KV
+    shard via the ring). L is padded to a multiple of the axis size (padded
+    KV masked out, padded Q rows sliced off). `batch_axis` names the mesh
+    axis the batch dim is already sharded over (e.g. "data" inside a DP+SP
+    training step) so shard_map does not regather it.
     """
     try:
         from jax import shard_map
@@ -96,9 +100,16 @@ def ring_mha(q, k, v, kv_mask=None, mesh: Optional[Mesh] = None,
         return mha_reference(q, k, v, kv_mask, scale=scale)
 
     n = mesh.shape[axis]
-    assert q.shape[2] % n == 0, f"L={q.shape[2]} not divisible by {axis}={n}"
-    spec = P(None, None, axis, None)
-    mspec = P(None, axis)
+    L = q.shape[2]
+    Lp = -(-L // n) * n
+    if Lp != L:
+        pad = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        kv_mask = jnp.pad(kv_mask, [(0, 0), (0, Lp - L)])
+    spec = P(batch_axis, None, axis, None)
+    mspec = P(batch_axis, axis)
 
     fn = shard_map(
         functools.partial(_ring_body, axis_name=axis, n_shards=n, scale=scale),
@@ -107,4 +118,5 @@ def ring_mha(q, k, v, kv_mask=None, mesh: Optional[Mesh] = None,
         out_specs=spec,
         **check_kw,
     )
-    return fn(q, k, v, kv_mask)
+    out = fn(q, k, v, kv_mask)
+    return out[:, :, :L, :] if Lp != L else out

@@ -9,7 +9,7 @@ module (selected by config) and an MLP trunk over [z ∥ cond] / [x ∥ cond].
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -22,12 +22,13 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 class _Conditioned(nn.Module):
     cfg: ModelConfig
+    mesh: Any = None
 
     def _dtype(self):
         return _DTYPES[self.cfg.compute_dtype]
 
     def cond_vector(self, cond: Optional[dict], deterministic: bool):
-        fusion = build_fusion(self.cfg.fusion, dtype=self._dtype(), name="fusion")
+        fusion = build_fusion(self.cfg.fusion, dtype=self._dtype(), name="fusion", mesh=self.mesh)
         if fusion is None:
             return None
         if cond is None:

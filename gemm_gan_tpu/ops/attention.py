@@ -13,7 +13,7 @@ paths and to the fused-jnp reference under autodiff.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -31,6 +31,7 @@ class MaskedMultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    mesh: Any = None          # enables ring (sequence-parallel) self-attention
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -48,8 +49,17 @@ class MaskedMultiHeadAttention(nn.Module):
         def split(x, L):
             return x.reshape(B, L, H, D).transpose(0, 2, 1, 3)
 
-        out = masked_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
-                         use_pallas=self.use_pallas and deterministic)
+        if (self.mesh is not None and Lq == Lk
+                and self.mesh.shape.get("model", 1) > 1):
+            from gemm_gan_tpu.kernels.ring_attention import ring_mha
+
+            batch_axis = ("data" if self.mesh.shape.get("data", 1) > 1
+                          else None)
+            out = ring_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
+                           mesh=self.mesh, axis="model", batch_axis=batch_axis)
+        else:
+            out = masked_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
+                             use_pallas=self.use_pallas and deterministic)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
         out = nn.Dense(E, dtype=self.dtype, name="out_proj")(out)
         if self.dropout > 0:
@@ -63,13 +73,14 @@ class TransformerEncoderLayer(nn.Module):
     ff_dim: int
     dropout: float = 0.1
     use_pallas: bool = False
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         attn = MaskedMultiHeadAttention(
             self.embed_dim, self.num_heads, dropout=self.dropout,
-            use_pallas=self.use_pallas, dtype=self.dtype,
+            use_pallas=self.use_pallas, mesh=self.mesh, dtype=self.dtype,
         )(x, x, mask, deterministic=deterministic)
         x = nn.LayerNorm(dtype=jnp.float32)(x + attn)
         h = nn.Dense(self.ff_dim, dtype=self.dtype)(x)
@@ -89,6 +100,7 @@ class TransformerEncoder(nn.Module):
     ff_dim: int
     dropout: float = 0.1
     use_pallas: bool = False
+    mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -96,6 +108,6 @@ class TransformerEncoder(nn.Module):
         for _ in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.embed_dim, self.num_heads, self.ff_dim, self.dropout,
-                use_pallas=self.use_pallas, dtype=self.dtype,
+                use_pallas=self.use_pallas, mesh=self.mesh, dtype=self.dtype,
             )(x, mask, deterministic=deterministic)
         return x

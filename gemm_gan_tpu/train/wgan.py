@@ -49,8 +49,9 @@ class WGANGPEngine:
     def __init__(self, cfg: ExperimentConfig, steps_per_epoch: int = 1, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
-        self.gen = Generator(cfg.model)
-        self.disc = Critic(cfg.model)
+        sp_mesh = mesh if cfg.model.fusion.sequence_parallel else None
+        self.gen = Generator(cfg.model, mesh=sp_mesh)
+        self.disc = Critic(cfg.model, mesh=sp_mesh)
         t = cfg.train
         self.g_tx = make_optimizer(t, t.lr_gen, steps_per_epoch, t.clip_grad_gen)
         self.d_tx = make_optimizer(t, t.lr_disc, steps_per_epoch, t.clip_grad_disc)

@@ -60,3 +60,34 @@ def test_ring_fully_masked_rows_zero(rng):
     mask = jnp.zeros((1, 16), dtype=bool)
     out = ring_mha(q, k, v, mask, mesh=mesh)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_sequence_parallel_training_step_matches(tiny_data, make_tiny_cfg):
+    """Full fused WGAN-GP step with ring (sequence-parallel) patch attention
+    on a (data=4, model=2) mesh must match the unsharded step."""
+    import dataclasses
+
+    from gemm_gan_tpu.data.loader import Batches
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    cfg = make_tiny_cfg("film")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, fusion=dataclasses.replace(
+                cfg.model.fusion, sequence_parallel=True)))
+    loader = Batches(tiny_data, batch_size=8, seed=0, shuffle=False)
+    batch = next(iter(loader))
+
+    base_cfg = make_tiny_cfg("film")
+    eng1 = WGANGPEngine(base_cfg, steps_per_epoch=2)
+    s1 = eng1.init_state(0, batch)
+    s1, m1 = eng1.step(s1, batch)
+
+    mesh = make_mesh(data=4, model=2)
+    eng2 = WGANGPEngine(cfg, steps_per_epoch=2, mesh=mesh)
+    s2 = eng2.init_state(0, batch)
+    s2, m2 = eng2.step(s2, batch)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=5e-4,
+                                   atol=5e-5, err_msg=k)
