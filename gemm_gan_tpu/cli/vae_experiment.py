@@ -59,6 +59,7 @@ class VAEExperiment:
             t.seed, next(iter(self.loaders["train"].epoch(0))))
         state = self.engine.fit(state, t.epochs,
                                 lambda: self.loaders["train"].epoch(),
+                                stacked_fn=self.loaders["train"].stacked_epoch,
                                 logger=self.logger)
         self.state = state
         save_state(os.path.join(self.out_dir, "ckpt"), jax.device_get(state))

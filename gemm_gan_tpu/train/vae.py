@@ -35,6 +35,7 @@ class VAEEngine:
         self.tx = optax.chain(optax.clip_by_global_norm(t.vae_clip_grad),
                               optax.adam(schedule))
         self._step = None
+        self._step_many = None
         self._sample = None
 
     def init_state(self, seed: int, sample_batch: Dict[str, Any]) -> VAETrainState:
@@ -74,19 +75,38 @@ class VAEEngine:
                                   opt_state=opt_state),
                     {"loss": loss, "recon": r, "kl": kl})
 
-        return jax.jit(step, donate_argnums=(0,))
+        return step
 
     def step(self, state, batch):
         if self._step is None:
-            self._step = self._build_step()
+            self._step = jax.jit(self._build_step(), donate_argnums=(0,))
         return self._step(state, {k: jnp.asarray(v) for k, v in batch.items()})
 
-    def fit(self, state, epochs: int, batches_fn: Callable[[], Iterable], logger=None):
+    def step_many(self, state, stacked):
+        """K steps scanned in one device program (see WGANGPEngine.step_many)."""
+        if self._step_many is None:
+            inner = self._build_step()
+
+            def many(state, stacked):
+                state, ms = jax.lax.scan(inner, state, stacked)
+                return state, jax.tree.map(lambda m: m[-1], ms)
+
+            self._step_many = jax.jit(many, donate_argnums=(0,))
+        return self._step_many(state, {k: jnp.asarray(v)
+                                       for k, v in stacked.items()})
+
+    def fit(self, state, epochs: int, batches_fn: Callable[[], Iterable] = None,
+            logger=None, stacked_fn: Callable = None):
+        if batches_fn is None and stacked_fn is None:
+            raise ValueError("fit() needs batches_fn or stacked_fn")
         history = {"loss": [], "recon": [], "kl": []}
         for epoch in range(epochs):
             last = None
-            for batch in batches_fn():
-                state, last = self.step(state, batch)
+            if stacked_fn is not None:
+                state, last = self.step_many(state, stacked_fn(epoch))
+            else:
+                for batch in batches_fn():
+                    state, last = self.step(state, batch)
             if last is not None:
                 for k in history:
                     history[k].append(float(last[k]))

@@ -73,3 +73,25 @@ def test_vae_gaussian_nll_head(tiny_data, make_tiny_cfg):
     state = eng.init_state(0, batch)
     state, m = eng.step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_vae_step_many_matches_sequential(tiny_data, make_tiny_cfg):
+    import jax.numpy as jnp
+
+    cfg = make_tiny_cfg("vae")
+    loader = Batches(tiny_data, batch_size=8, seed=0, shuffle=False)
+    batches = list(loader.epoch(0))[:3]
+
+    e1 = VAEEngine(cfg, steps_per_epoch=3)
+    s1 = e1.init_state(0, batches[0])
+    for b in batches:
+        s1, m1 = e1.step(s1, b)
+
+    e2 = VAEEngine(cfg, steps_per_epoch=3)
+    s2 = e2.init_state(0, batches[0])
+    stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+               for k in batches[0]}
+    s2, m2 = e2.step_many(s2, stacked)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), s1.params, s2.params)
