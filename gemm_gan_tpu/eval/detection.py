@@ -28,6 +28,12 @@ SEED = 42
 
 
 def _rf():
+    """Native C++ histogram forest (SURVEY §2.6's LightGBM-RF replacement);
+    sklearn RandomForest fallback when the toolchain is absent."""
+    from gemm_gan_tpu.native.forest import HistForestClassifier, forest_available
+
+    if forest_available():
+        return HistForestClassifier(random_state=SEED, n_jobs=-1)
     from sklearn.ensemble import RandomForestClassifier
 
     return RandomForestClassifier(random_state=SEED, n_jobs=-1)

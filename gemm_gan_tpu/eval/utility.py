@@ -13,8 +13,9 @@ frameworks' dumps are cross-evaluable; the semantics here follow the
 reference so the numbers are comparable.
 
 Classifier substitution: LGBMClassifier(boosting_type='rf') is replaced by
-sklearn RandomForestClassifier (LightGBM unavailable); MLP is the JAX
-MLPClassifier (eval/classifiers.py).
+the native C++ histogram forest (gemm_gan_tpu/native/hist_forest.cpp, with an
+sklearn RandomForest fallback); MLP is the JAX MLPClassifier
+(eval/classifiers.py).
 """
 
 from __future__ import annotations
@@ -125,6 +126,10 @@ class UtilityEvaluatorPrimary(UtilityEvaluator):
 
 
 def _rf():
+    from gemm_gan_tpu.native.forest import HistForestClassifier, forest_available
+
+    if forest_available():
+        return HistForestClassifier(n_estimators=100, random_state=42, n_jobs=-1)
     from sklearn.ensemble import RandomForestClassifier
 
     return RandomForestClassifier(n_estimators=100, random_state=42, n_jobs=-1)

@@ -1,10 +1,15 @@
-"""Native (C++) components: exact optimal transport.
+"""Native (C++) components: exact optimal transport + histogram forest.
 
-The reference relies on POT's C++ network simplex for exact Wasserstein
-(/root/reference/src/distribution_distances.py:329-343 via `ot.emd2`). POT is
-not vendored here; `ot_emd.cpp` implements the transportation-problem network
-simplex natively and is loaded through ctypes. Build with
-`python -m gemm_gan_tpu.native.build` (or `make -C gemm_gan_tpu/native`).
+The reference relies on two third-party C++ cores this package replaces
+natively (SURVEY.md §2.6):
+  * POT's network simplex for exact Wasserstein
+    (/root/reference/src/distribution_distances.py:329-343 via `ot.emd2`)
+    → `ot_emd.cpp`, bound below;
+  * LightGBM's tree learner in rf mode for detection/utility classifiers
+    (/root/reference/src/generative_model_utils.py:75)
+    → `hist_forest.cpp`, bound in `gemm_gan_tpu.native.forest`.
+Both are ctypes shared libraries; build with
+`python -m gemm_gan_tpu.native.build` (lazy-built on first use otherwise).
 """
 
 from __future__ import annotations

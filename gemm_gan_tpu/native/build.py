@@ -6,20 +6,37 @@ import os
 import subprocess
 
 
-def build(verbose: bool = False):
-    here = os.path.dirname(__file__)
-    src = os.path.join(here, "ot_emd.cpp")
-    out = os.path.join(here, "libotemd.so")
+LIBS = {
+    "libotemd.so": "ot_emd.cpp",
+    "libhistforest.so": "hist_forest.cpp",
+}
+
+
+def _build_one(here: str, lib: str, src_name: str, verbose: bool) -> str:
+    src = os.path.join(here, src_name)
+    out = os.path.join(here, lib)
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", out, src]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           "-o", out, src]
     res = subprocess.run(cmd, capture_output=True, text=True)
     if res.returncode != 0:
-        raise RuntimeError(f"native build failed:\n{res.stderr}")
+        raise RuntimeError(f"native build failed ({src_name}):\n{res.stderr}")
     if verbose:
         print(f"built {out}")
     return out
 
 
+def build(verbose: bool = False, lib: str = "libotemd.so"):
+    """Build one shared library (default: the OT solver) and return its path."""
+    here = os.path.dirname(__file__)
+    return _build_one(here, lib, LIBS[lib], verbose)
+
+
+def build_all(verbose: bool = False):
+    here = os.path.dirname(__file__)
+    return [_build_one(here, lib, src, verbose) for lib, src in LIBS.items()]
+
+
 if __name__ == "__main__":
-    build(verbose=True)
+    build_all(verbose=True)
