@@ -67,11 +67,15 @@ class Experiment:
             def make(name):
                 return DeviceCache(splits[name], t.batch_size,
                                    num_patches=cfg.data.num_patches,
-                                   seed=t.seed, shuffle=(name == "train"))
+                                   seed=t.seed, shuffle=(name == "train"),
+                                   drop_remainder=False)
         else:
             def make(name):
+                # drop_remainder=False for parity with the reference's
+                # DataLoader(drop_last=False): ragged tails train/evaluate
+                # instead of vanishing, and tiny splits still yield a batch
                 return Batches(splits[name], t.batch_size, seed=t.seed,
-                               shuffle=(name == "train"))
+                               shuffle=(name == "train"), drop_remainder=False)
         self.loaders = {name: make(name)
                         for name in ("train", "val", "test") if name in splits}
         self.engine = WGANGPEngine(cfg, steps_per_epoch=len(self.loaders["train"]),
@@ -100,9 +104,13 @@ class Experiment:
                                jax.device_get(state))
             return None
 
-        state = eng.fit(state, t.epochs, lambda: self.loaders["train"].epoch(),
+        # scan path needs >=1 full batch per epoch; tiny splits take the
+        # per-batch path instead of crashing inside stacked_epoch
+        train = self.loaders["train"]
+        stacked_fn = train.stacked_epoch if train.n_full_batches else None
+        state = eng.fit(state, t.epochs, lambda: train.epoch(),
                         on_epoch_end=on_epoch_end, logger=self.logger,
-                        stacked_fn=self.loaders["train"].stacked_epoch)
+                        stacked_fn=stacked_fn)
         self.state = state
         save_state(os.path.join(self.out_dir, "ckpt"), jax.device_get(state))
         self._plot_val_curves()

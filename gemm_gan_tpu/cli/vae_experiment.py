@@ -24,9 +24,12 @@ class VAEExperiment:
         self.cfg = cfg
         self.splits = splits
         t = cfg.train
+        # drop_remainder=False for parity with the reference's
+        # DataLoader(drop_last=False): ragged tails train/evaluate instead
+        # of vanishing, and tiny splits still yield a batch
         self.loaders = {
             name: Batches(splits[name], t.batch_size, seed=t.seed,
-                          shuffle=(name == "train"))
+                          shuffle=(name == "train"), drop_remainder=False)
             for name in ("train", "val", "test") if name in splits
         }
         self.engine = VAEEngine(cfg, steps_per_epoch=len(self.loaders["train"]))
@@ -57,10 +60,12 @@ class VAEExperiment:
         t = self.cfg.train
         state = self.engine.init_state(
             t.seed, next(iter(self.loaders["train"].epoch(0))))
-        state = self.engine.fit(state, t.epochs,
-                                lambda: self.loaders["train"].epoch(),
-                                stacked_fn=self.loaders["train"].stacked_epoch,
-                                logger=self.logger)
+        # scan path needs >=1 full batch per epoch; tiny splits take the
+        # per-batch path instead of crashing inside stacked_epoch
+        train = self.loaders["train"]
+        stacked_fn = train.stacked_epoch if train.n_full_batches else None
+        state = self.engine.fit(state, t.epochs, lambda: train.epoch(),
+                                stacked_fn=stacked_fn, logger=self.logger)
         self.state = state
         save_state(os.path.join(self.out_dir, "ckpt"), jax.device_get(state))
         return self._test_block(state)

@@ -97,9 +97,20 @@ class DeviceCache:
     def __iter__(self):
         return self.epoch()
 
+    @property
+    def n_full_batches(self) -> int:
+        """Full-size batches per epoch (leading axis of `stacked_epoch`);
+        0 means the scan path is unusable — use the per-batch path."""
+        return self.n // self.batch_size
+
     def stacked_epoch(self, epoch: Optional[int] = None) -> Dict[str, jax.Array]:
         """Whole epoch as one on-device gather [K, B, ...] (for `lax.scan`
         training: one device program per epoch, zero host dispatch)."""
+        if self.n_full_batches == 0:
+            raise ValueError(
+                f"stacked_epoch needs at least one full batch "
+                f"(n={self.n}, batch_size={self.batch_size}); "
+                "use the per-batch epoch() path")
         e = self._epoch if epoch is None else epoch
         if epoch is None:
             self._epoch += 1

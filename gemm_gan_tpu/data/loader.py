@@ -57,11 +57,23 @@ class Batches:
     def __iter__(self):
         return self.epoch()
 
+    @property
+    def n_full_batches(self) -> int:
+        """Full-size batches per epoch — the length of `stacked_epoch`'s
+        leading axis. 0 means the scan path is unusable (dataset smaller
+        than one batch); callers should fall back to the per-batch path."""
+        return (self.n // self.process_count) // self.batch_size
+
     def stacked_epoch(self, epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
         """One epoch's batches stacked on a leading axis [K, B, ...] for the
         engine's `lax.scan` multi-step path (one device program per epoch).
         A ragged final batch (drop_remainder=False) cannot stack and is
         dropped here — scan requires uniform shapes."""
+        if self.n_full_batches == 0:
+            raise ValueError(
+                f"stacked_epoch needs at least one full batch "
+                f"(n={self.n}, batch_size={self.batch_size}); "
+                "use the per-batch epoch() path")
         batches = [b for b in self.epoch(epoch)
                    if len(next(iter(b.values()))) == self.batch_size]
         return {k: np.stack([b[k] for b in batches]) for k in batches[0]}

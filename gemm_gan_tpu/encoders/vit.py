@@ -118,10 +118,13 @@ class FlaxViT(nn.Module):
                          (1, 1 + p.num_patches, p.hidden_size))
         g0 = p.img_size // p.patch_size
         if (gh, gw) != (g0, g0):
-            # dynamic image size (timm behavior): bilinear-resample the grid
-            # positional embeddings; the CLS position is kept as-is
+            # dynamic image size (timm `resample_abs_pos_embed` behavior:
+            # bicubic, antialias=True): resample the grid positional
+            # embeddings; the CLS position is kept as-is. jax.image.resize
+            # applies antialiasing on downscale only, matching torch.
             grid = pos[:, 1:].reshape(1, g0, g0, p.hidden_size)
-            grid = jax.image.resize(grid, (1, gh, gw, p.hidden_size), "bilinear")
+            grid = jax.image.resize(grid, (1, gh, gw, p.hidden_size), "cubic",
+                                    antialias=True)
             pos = jnp.concatenate(
                 [pos[:, :1], grid.reshape(1, gh * gw, p.hidden_size)], axis=1)
         x = x + pos.astype(x.dtype)

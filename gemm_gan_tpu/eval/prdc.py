@@ -48,6 +48,10 @@ def compute_nearest_neighbour_distances(features, nearest_k: int, block: int = 2
 def compute_prdc(real_features, fake_features, nearest_k: int, block: int = 2048):
     real = jnp.asarray(real_features, jnp.float32)
     fake = jnp.asarray(fake_features, jnp.float32)
+    # sets smaller than k+1 have no k-th neighbour (the reference's sklearn
+    # kneighbors would error the same way); clamp so tiny smoke/validation
+    # sets degrade instead of crashing
+    nearest_k = max(1, min(nearest_k, real.shape[0] - 1, fake.shape[0] - 1))
     real_nnd = compute_nearest_neighbour_distances(real, nearest_k, block)
     fake_nnd = compute_nearest_neighbour_distances(fake, nearest_k, block)
     d_rf = _pairwise_l1(real, fake, block)  # [N_real, N_fake]

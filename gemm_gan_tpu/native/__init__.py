@@ -23,26 +23,15 @@ _LIB = None
 _TRIED = False
 
 
-def _lib_path():
-    return os.path.join(os.path.dirname(__file__), "libotemd.so")
-
-
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = _lib_path()
-    if not os.path.exists(path):
-        # attempt a lazy build if a toolchain is present
-        try:
-            from gemm_gan_tpu.native.build import build
+    from gemm_gan_tpu.native.build import load_native_lib
 
-            build()
-        except Exception:
-            return None
-    if os.path.exists(path):
-        lib = ctypes.CDLL(path)
+    lib = load_native_lib("libotemd.so")
+    if lib is not None:
         lib.emd2.restype = ctypes.c_double
         lib.emd2.argtypes = [
             ctypes.POINTER(ctypes.c_double),  # a [n]

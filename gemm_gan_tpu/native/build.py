@@ -38,5 +38,28 @@ def build_all(verbose: bool = False):
     return [_build_one(here, lib, src, verbose) for lib, src in LIBS.items()]
 
 
+def load_native_lib(lib: str):
+    """Rebuild-if-stale then dlopen `lib`; None when neither works.
+
+    Always goes through `build()` (a no-op when the .so is newer than its
+    source) so source edits don't silently keep loading a stale committed
+    binary. Falls back to an existing .so when the toolchain is absent, and
+    returns None instead of raising when the binary can't be loaded on this
+    platform (callers then use their pure-Python fallbacks).
+    """
+    import ctypes
+
+    try:
+        path = build(lib=lib)
+    except Exception:
+        path = os.path.join(os.path.dirname(__file__), lib)
+        if not os.path.exists(path):
+            return None
+    try:
+        return ctypes.CDLL(path)
+    except OSError:
+        return None
+
+
 if __name__ == "__main__":
     build_all(verbose=True)

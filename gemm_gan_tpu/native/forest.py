@@ -24,17 +24,11 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "libhistforest.so")
-    if not os.path.exists(path):
-        try:
-            from gemm_gan_tpu.native.build import build
+    from gemm_gan_tpu.native.build import load_native_lib
 
-            build(lib="libhistforest.so")
-        except Exception:
-            return None
-    if not os.path.exists(path):
+    lib = load_native_lib("libhistforest.so")
+    if lib is None:
         return None
-    lib = ctypes.CDLL(path)
     lib.hf_train.restype = ctypes.c_void_p
     lib.hf_train.argtypes = [
         ctypes.POINTER(ctypes.c_float),   # X [n*d]

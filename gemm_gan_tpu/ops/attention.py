@@ -53,8 +53,11 @@ class MaskedMultiHeadAttention(nn.Module):
                 and self.mesh.shape.get("model", 1) > 1):
             from gemm_gan_tpu.kernels.ring_attention import ring_mha
 
-            batch_axis = ("data" if self.mesh.shape.get("data", 1) > 1
-                          else None)
+            # shard the batch over `data` only when it divides evenly —
+            # ring_mha pads the sequence axis but not the batch axis, and
+            # eval/init paths may carry remainder batch sizes
+            data_ax = self.mesh.shape.get("data", 1)
+            batch_axis = "data" if data_ax > 1 and B % data_ax == 0 else None
             out = ring_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
                            mesh=self.mesh, axis="model", batch_axis=batch_axis)
         else:

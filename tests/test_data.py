@@ -84,3 +84,18 @@ def test_batches_process_sharding(tiny_data):
     seen = np.concatenate([b["genes"] for s in shards for b in s.epoch(0)])
     assert seen.shape[0] == 48  # disjoint cover
     assert len(np.unique(seen.sum(1))) == 48
+
+
+def test_stacked_epoch_tiny_split_guard(tiny_data):
+    """A split smaller than one batch must not crash the scan path: the
+    loader reports 0 full batches and stacked_epoch raises a clear error
+    (experiment CLIs then take the per-batch path)."""
+    small = {k: v[:3] for k, v in tiny_data.items()}
+    loader = Batches(small, batch_size=8, seed=0)
+    assert loader.n_full_batches == 0
+    with np.testing.assert_raises(ValueError):
+        loader.stacked_epoch(0)
+    full = Batches(tiny_data, batch_size=8, seed=0)
+    assert full.n_full_batches == len(full)
+    stacked = full.stacked_epoch(0)
+    assert next(iter(stacked.values())).shape[0] == full.n_full_batches

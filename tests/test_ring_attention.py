@@ -91,3 +91,25 @@ def test_sequence_parallel_training_step_matches(tiny_data, make_tiny_cfg):
     for k in m1:
         np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=5e-4,
                                    atol=5e-5, err_msg=k)
+
+
+def test_sequence_parallel_remainder_batch(rng):
+    """Batch sizes that don't divide the data axis (eval remainders) must
+    still run: the attention module falls back to an unsharded batch spec
+    instead of failing shard_map divisibility."""
+    from gemm_gan_tpu.ops.attention import MaskedMultiHeadAttention
+
+    mesh = make_mesh(data=4, model=2)
+    B, L, E = 3, 16, 8  # B % data_axis != 0
+    x = jnp.asarray(rng.randn(B, L, E).astype(np.float32))
+    mask = jnp.ones((B, L), dtype=bool)
+    mod = MaskedMultiHeadAttention(embed_dim=E, num_heads=2, mesh=mesh)
+    params = mod.init({"params": jax.random.key(0)}, x, x, mask)
+    out = mod.apply(params, x, x, mask)
+    ref = mod.apply(params, x, x, mask)  # determinism sanity
+    assert out.shape == (B, L, E)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+    base = MaskedMultiHeadAttention(embed_dim=E, num_heads=2, mesh=None)
+    want = base.apply(params, x, x, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
