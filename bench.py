@@ -132,7 +132,7 @@ def torch_baseline_steps_per_sec(n_steps: int = 3) -> float:
 
 
 # ----------------------------------------------------------------------- jax
-def jax_steps_per_sec(scan_len: int = 20, n_calls: int = 5) -> float:
+def jax_steps_per_sec(scan_len: int = 100, n_calls: int = 3) -> float:
     """Production fit path: `lax.scan` of `scan_len` fused steps per device
     program (the per-step dispatch path is ~9x slower — latency-bound)."""
     import jax
