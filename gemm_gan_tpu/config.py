@@ -198,6 +198,9 @@ def variant_config(variant: str, n_genes: int = 18868, **overrides) -> Experimen
         )
     if variant in ("benchmark", "cvae"):
         train = dataclasses.replace(train, freq_compute_test=100)
+    if variant == "vae":
+        # reference vanilla-VAE main trains 1000 epochs (vae/vanilla_vae.py:424-460)
+        train = dataclasses.replace(train, epochs=1000)
     ev = EvalConfig()
     if variant == "vanilla":
         ev = dataclasses.replace(ev, n_runs=5)
