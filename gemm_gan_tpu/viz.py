@@ -134,3 +134,52 @@ def plot_distance_matrix(real: np.ndarray, fake: np.ndarray,
         plt.close(fig)
         return out_path
     return fig
+
+
+def scatter_2d(data_2d: np.ndarray, labels: Sequence,
+               out_path: Optional[str] = None, title: str = ""):
+    """Label-colored 2-D embedding scatter (parity: visualization.py:85-142
+    `plot_tsne_2d`/`scatter_2d`): one color per label value, legend outside."""
+    plt = _plt()
+    labels = np.asarray(labels)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for lab in np.unique(labels):
+        m = labels == lab
+        ax.scatter(data_2d[m, 0], data_2d[m, 1], s=8, alpha=0.7, label=str(lab))
+    ax.legend(fontsize=6, bbox_to_anchor=(1.02, 1), loc="upper left")
+    if title:
+        ax.set_title(title)
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
+    return fig
+
+
+def plot_distance_matrices(real: np.ndarray, fake: np.ndarray,
+                           out_path: Optional[str] = None):
+    """Side-by-side gene-gene correlation-distance matrices real vs generated
+    plus their difference (parity: visualization.py:412-451
+    `plot_distance_matrices` with the pearson corr_fn)."""
+    plt = _plt()
+
+    def corr_dist(a):
+        s = (a - a.mean(0)) / (a.std(0) + 1e-8)
+        return 1.0 - (s.T @ s) / a.shape[0]
+
+    dr, df = corr_dist(real), corr_dist(fake)
+    lo = min(dr.min(), df.min())
+    hi = max(dr.max(), df.max())
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+    for ax, (m, t) in zip(axes, ((dr, "real"), (df, "generated"),
+                                 (np.abs(dr - df), "|difference|"))):
+        im = ax.imshow(m, cmap="magma",
+                       vmin=lo if t != "|difference|" else None,
+                       vmax=hi if t != "|difference|" else None)
+        ax.set_title(t)
+        fig.colorbar(im, ax=ax, fraction=0.046)
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
+    return fig
