@@ -56,12 +56,15 @@ class DeviceCache:
         self._epoch = 0
         self._key = jax.random.key(seed)
 
-        arrays = self.arrays
-        resample = (num_patches is not None and "patches" in arrays
-                    and arrays["patches"].shape[1] > num_patches)
+        resample = (num_patches is not None and "patches" in self.arrays
+                    and self.arrays["patches"].shape[1] > num_patches)
 
-        @jax.jit
-        def assemble(idx, key):
+        # The bank is an ARGUMENT of the jitted assemblers, not a closure
+        # capture: captured device arrays are serialized into the compiled
+        # program as constants, which bloats the executable by the full cache
+        # size (and overflows remote-compile request limits on tunneled TPU
+        # backends). As an argument it stays a device buffer reference.
+        def assemble(arrays, idx, key):
             batch = {k: jnp.take(a, idx, axis=0) for k, a in arrays.items()}
             if resample:
                 batch["patches"], batch["patch_mask"] = _subsample_patches(
@@ -69,10 +72,12 @@ class DeviceCache:
                     num_patches=num_patches)
             return batch
 
-        self._assemble = assemble
+        jit_one = jax.jit(assemble)
         # one jitted stacked assembler (a fresh vmap per call would retrace
         # and recompile every epoch)
-        self._assemble_many = jax.jit(jax.vmap(assemble))
+        jit_many = jax.jit(jax.vmap(assemble, in_axes=(None, 0, 0)))
+        self._assemble = lambda idx, key: jit_one(self.arrays, idx, key)
+        self._assemble_many = lambda idx, keys: jit_many(self.arrays, idx, keys)
 
     def __len__(self):
         if self.drop_remainder:
