@@ -26,6 +26,7 @@ reference, whose materialized matrices are negligible at Lq ~ 1.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -348,10 +349,29 @@ def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 128,
     return _flash_core(q, k, v, kv_mask, float(scale), block_q, block_k)
 
 
+_PALLAS_DISABLED = False  # trace-time toggle, see disable_pallas()
+
+
+@contextlib.contextmanager
+def disable_pallas():
+    """Trace-time escape hatch: ops traced inside this context use the jnp
+    reference even when configured for Pallas. The flash kernels carry a
+    custom VJP (first-order only); regions that are differentiated TWICE —
+    the WGAN gradient-penalty grad-of-grad — must trace the reference path,
+    while everything else in the same jitted step keeps the kernels."""
+    global _PALLAS_DISABLED
+    prev = _PALLAS_DISABLED
+    _PALLAS_DISABLED = True
+    try:
+        yield
+    finally:
+        _PALLAS_DISABLED = prev
+
+
 def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True):
     """Dispatch: Pallas kernel on TPU for non-tiny query lengths, else jnp."""
     on_tpu = jax.default_backend() == "tpu"
-    if (use_pallas and q.shape[2] >= MIN_PALLAS_LQ
+    if (use_pallas and not _PALLAS_DISABLED and q.shape[2] >= MIN_PALLAS_LQ
             and (_INTERPRET or (on_tpu and pltpu is not None))):
         try:
             return flash_mha(q, k, v, kv_mask, scale=scale)

@@ -61,8 +61,11 @@ class MaskedMultiHeadAttention(nn.Module):
             out = ring_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
                            mesh=self.mesh, axis="model", batch_axis=batch_axis)
         else:
+            # the flash kernels are first-order differentiable (custom VJP);
+            # second-order regions (GP grad-of-grad) disable them at trace
+            # time via kernels.flash_attention.disable_pallas()
             out = masked_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
-                             use_pallas=self.use_pallas and deterministic)
+                             use_pallas=self.use_pallas)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
         out = nn.Dense(E, dtype=self.dtype, name="out_proj")(out)
         if self.dropout > 0:

@@ -30,6 +30,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gemm_gan_tpu.config import ExperimentConfig
+from gemm_gan_tpu.kernels.flash_attention import disable_pallas
 from gemm_gan_tpu.models.gan import Critic, Generator
 from gemm_gan_tpu.parallel.sharding import batch_sharding, param_shardings
 from gemm_gan_tpu.train import losses
@@ -120,8 +121,13 @@ class WGANGPEngine:
                 d_real = disc_fwd(d_params, real_a, cond, kd2)
                 d_fake = disc_fwd(d_params, fake_a, cond, kd2)
                 loss, loss_r, loss_f = losses.d_loss(d_real, d_fake)
-                gp = losses.gradient_penalty(
-                    lambda x: disc_fwd(d_params, x, cond, kd3), real_a, fake_a, ka)
+                # GP is grad-of-grad: the Pallas attention kernels (custom
+                # VJP, first-order) must trace the jnp reference here; the
+                # d_real/d_fake terms above keep the kernels
+                with disable_pallas():
+                    gp = losses.gradient_penalty(
+                        lambda x: disc_fwd(d_params, x, cond, kd3),
+                        real_a, fake_a, ka)
                 return loss + t.gp_weight * gp, (loss, gp, jnp.mean(d_real),
                                                  jnp.mean(d_fake))
 

@@ -83,3 +83,61 @@ def test_fully_masked_rows_are_zero(rng):
     mask = jnp.zeros((1, 8), dtype=bool)
     out = fa.mha_reference(q, k, v, mask)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_training_step_with_pallas_matches_reference(monkeypatch):
+    """Full fused WGAN-GP step with the Pallas attention kernels enabled
+    (interpret mode, patch length >= MIN_PALLAS_LQ) must match the jnp
+    reference path: the kernels carry the first-order terms while the GP
+    grad-of-grad region traces the reference via disable_pallas()."""
+    import dataclasses
+
+    import gemm_gan_tpu as gg
+    from gemm_gan_tpu.data import synthetic_dataset
+    from gemm_gan_tpu.data.loader import Batches
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    def cfg_with(use_pallas):
+        cfg = gg.variant_config(
+            "film_cross_attention", n_genes=24,
+            fusion_kw=dict(cond_dim=16, text_dim=8, patch_dim=8, ff_dim=32,
+                           num_heads=2, num_layers=1, dropout=0.0,
+                           use_pallas=use_pallas))
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, gen_dims=(16, 16),
+                                           disc_dims=(16, 16), latent_dim=8))
+
+    data = synthetic_dataset(n=8, n_genes=24, num_patches=fa.MIN_PALLAS_LQ,
+                             patch_dim=8, num_tokens=4, text_dim=8, seed=0)
+    batch = next(iter(Batches(data, batch_size=8, seed=0, shuffle=False)))
+
+    eng_ref = WGANGPEngine(cfg_with(False), steps_per_epoch=2)
+    s_ref = eng_ref.init_state(0, batch)
+    s_ref, m_ref = eng_ref.step(s_ref, batch)
+
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    eng_pal = WGANGPEngine(cfg_with(True), steps_per_epoch=2)
+    s_pal = eng_pal.init_state(0, batch)
+    s_pal, m_pal = eng_pal.step(s_pal, batch)
+
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_ref[k]), float(m_pal[k]),
+                                   rtol=2e-3, atol=2e-4, err_msg=k)
+
+
+def test_disable_pallas_context(monkeypatch):
+    """Inside disable_pallas() the dispatcher must take the jnp reference
+    even when Pallas is configured and the shape qualifies."""
+    calls = []
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    real_flash = fa.flash_mha
+    monkeypatch.setattr(fa, "flash_mha",
+                        lambda *a, **k: (calls.append(1), real_flash(*a, **k))[1])
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 2, fa.MIN_PALLAS_LQ, 8).astype(np.float32))
+    fa.masked_mha(q, q, q, None, use_pallas=True)
+    assert calls, "pallas path should be taken outside the context"
+    calls.clear()
+    with fa.disable_pallas():
+        fa.masked_mha(q, q, q, None, use_pallas=True)
+    assert not calls, "pallas path must be disabled inside the context"
