@@ -141,3 +141,53 @@ def test_disable_pallas_context(monkeypatch):
     with fa.disable_pallas():
         fa.masked_mha(q, q, q, None, use_pallas=True)
     assert not calls, "pallas path must be disabled inside the context"
+
+
+def test_blocked_reference_matches_full(rng):
+    """Blocked (lax.map over query blocks) reference == full reference,
+    including first- and second-order gradients (the GP path contract)."""
+    q = jnp.asarray(rng.randn(2, 2, 200, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 2, 48, 8).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 2, 48, 8).astype(np.float32))
+    mask = jnp.asarray(np.arange(48)[None, :] < np.array([30, 48])[:, None])
+    full = fa.mha_reference(q, k, v, mask)
+    blocked = fa.mha_reference_blocked(q, k, v, mask, block_q=64)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_full(q):
+        return jnp.sum(fa.mha_reference(q, k, v, mask) ** 2)
+
+    def loss_blocked(q):
+        return jnp.sum(fa.mha_reference_blocked(q, k, v, mask, block_q=64) ** 2)
+
+    g1, g2 = jax.grad(loss_full)(q), jax.grad(loss_blocked)(q)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4,
+                               atol=1e-5)
+    # second order: grad of gradient-norm, the exact GP composition
+    def gp_like(f):
+        def inner(q):
+            g = jax.grad(lambda x: jnp.sum(f(x)))(q)
+            return jnp.sum(jnp.sqrt(jnp.sum(g ** 2) + 1e-8))
+        return jax.grad(inner)(q)
+
+    h1 = gp_like(lambda x: fa.mha_reference(x, k, v, mask))
+    h2 = gp_like(lambda x: fa.mha_reference_blocked(x, k, v, mask, block_q=64))
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_masked_mha_long_sequence_dispatches_blocked(rng, monkeypatch):
+    """Above BLOCKED_REF_MIN_LK without Pallas the dispatcher must use the
+    blocked reference (and produce the same values)."""
+    monkeypatch.setattr(fa, "BLOCKED_REF_MIN_LK", 64)
+    calls = []
+    real_blocked = fa.mha_reference_blocked
+    monkeypatch.setattr(fa, "mha_reference_blocked",
+                        lambda *a, **k: (calls.append(1), real_blocked(*a, **k))[1])
+    q = jnp.asarray(rng.randn(1, 2, 96, 8).astype(np.float32))
+    out = fa.masked_mha(q, q, q, None, use_pallas=False)
+    assert calls
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(fa.mha_reference(q, q, q, None)),
+                               rtol=1e-5, atol=1e-6)
