@@ -56,6 +56,9 @@ class FusionConfig:
     film_beta_clamp: float = 5.0
     # use the Pallas fused masked-attention kernel on TPU
     use_pallas: bool = True
+    # remat each patch-transformer layer (activation memory ∝ one layer):
+    # enable for whole-slide patch counts (>=16k) on a single chip
+    remat_layers: bool = False
     # shard the patch self-attention sequence over the mesh's `model` axis
     # via ring attention (whole-slide patch counts; beyond the reference)
     sequence_parallel: bool = False

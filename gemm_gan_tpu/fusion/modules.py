@@ -66,7 +66,7 @@ class _PatchTransformer(nn.Module):
             num_layers=c.num_layers, embed_dim=c.cond_dim, num_heads=c.num_heads,
             ff_dim=c.ff_dim, dropout=c.dropout, use_pallas=c.use_pallas,
             mesh=self.mesh if c.sequence_parallel else None,
-            dtype=self.dtype, name="patches_transformer",
+            dtype=self.dtype, remat=c.remat_layers, name="patches_transformer",
         )(x, mask, deterministic=deterministic)
         return x, mask
 

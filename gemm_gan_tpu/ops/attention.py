@@ -108,12 +108,20 @@ class TransformerEncoder(nn.Module):
     use_pallas: bool = False
     mesh: Any = None
     dtype: Optional[jnp.dtype] = None
+    # rematerialize each layer in backward: trades recompute for activation
+    # memory — required for whole-slide patch counts (>=16k) on one chip
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
-        for _ in range(self.num_layers):
-            x = TransformerEncoderLayer(
+        layer_cls = (nn.remat(TransformerEncoderLayer, static_argnums=(3,))
+                     if self.remat else TransformerEncoderLayer)
+        for i in range(self.num_layers):
+            # explicit name: remat auto-prefixes the class name, which would
+            # change param paths (init RNG folding, checkpoint layout)
+            x = layer_cls(
                 self.embed_dim, self.num_heads, self.ff_dim, self.dropout,
                 use_pallas=self.use_pallas, mesh=self.mesh, dtype=self.dtype,
-            )(x, mask, deterministic=deterministic)
+                name=f"TransformerEncoderLayer_{i}",
+            )(x, mask, deterministic)
         return x

@@ -97,3 +97,32 @@ def test_token_mask_respected(tiny_data):
     out2 = mod.apply(params, {k: jnp.asarray(v) for k, v in cond2.items()},
                      deterministic=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
+
+
+def test_remat_layers_step_matches(tiny_data, make_tiny_cfg):
+    """remat_layers trades recompute for memory only — the fused step's
+    metrics must be identical to the non-remat configuration."""
+    import dataclasses
+
+    import numpy as np
+
+    from gemm_gan_tpu.data.loader import Batches
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    batch = next(iter(Batches(tiny_data, batch_size=8, seed=0, shuffle=False)))
+
+    def run(remat):
+        cfg = make_tiny_cfg("film")
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, fusion=dataclasses.replace(
+                    cfg.model.fusion, remat_layers=remat)))
+        eng = WGANGPEngine(cfg, steps_per_epoch=2)
+        s = eng.init_state(0, batch)
+        _, m = eng.step(s, batch)
+        return m
+
+    m0, m1 = run(False), run(True)
+    for k in m0:
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]), rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
