@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -365,7 +366,7 @@ def mha_reference_blocked(q, k, v, kv_mask=None, scale=None,
         return mha_reference(q, k, v, kv_mask, scale)
     nb = -(-Lq // block_q)
     Lq_p = nb * block_q
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Lq_p - Lq), (0, 0)))
+    qp = _pad_to(q, Lq_p, 2)
     qb = qp.reshape(B, H, nb, block_q, D).transpose(2, 0, 1, 3, 4)
 
     # remat the block: without it lax.map stores every block's
@@ -381,10 +382,14 @@ def mha_reference_blocked(q, k, v, kv_mask=None, scale=None,
     return out.transpose(1, 2, 0, 3, 4).reshape(B, H, Lq_p, D)[:, :, :Lq]
 
 
-_PALLAS_DISABLED = False  # trace-time toggle, see disable_pallas()
+_TRACE_FLAGS = threading.local()  # trace-time toggle, see disable_pallas()
 # self/cross attention over sequences at least this long takes the blocked
 # reference when the Pallas kernels are unavailable or disabled
 BLOCKED_REF_MIN_LK = 2048
+
+
+def _pallas_disabled() -> bool:
+    return getattr(_TRACE_FLAGS, "disabled", False)
 
 
 @contextlib.contextmanager
@@ -393,20 +398,20 @@ def disable_pallas():
     reference even when configured for Pallas. The flash kernels carry a
     custom VJP (first-order only); regions that are differentiated TWICE —
     the WGAN gradient-penalty grad-of-grad — must trace the reference path,
-    while everything else in the same jitted step keeps the kernels."""
-    global _PALLAS_DISABLED
-    prev = _PALLAS_DISABLED
-    _PALLAS_DISABLED = True
+    while everything else in the same jitted step keeps the kernels.
+    Thread-local so concurrent traces in other threads are unaffected."""
+    prev = _pallas_disabled()
+    _TRACE_FLAGS.disabled = True
     try:
         yield
     finally:
-        _PALLAS_DISABLED = prev
+        _TRACE_FLAGS.disabled = prev
 
 
 def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True):
     """Dispatch: Pallas kernel on TPU for non-tiny query lengths, else jnp."""
     on_tpu = jax.default_backend() == "tpu"
-    if (use_pallas and not _PALLAS_DISABLED and q.shape[2] >= MIN_PALLAS_LQ
+    if (use_pallas and not _pallas_disabled() and q.shape[2] >= MIN_PALLAS_LQ
             and (_INTERPRET or (on_tpu and pltpu is not None))):
         try:
             return flash_mha(q, k, v, kv_mask, scale=scale)

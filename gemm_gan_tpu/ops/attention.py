@@ -7,8 +7,10 @@ src/conditional_gan_cross_attention.py:113-138). Post-LayerNorm blocks with
 ReLU feed-forward match torch's `TransformerEncoderLayer` defaults.
 
 Masks use True = valid everywhere (see kernels/flash_attention.py docstring).
-The attention core dispatches to the Pallas flash kernel on TPU inference
-paths and to the fused-jnp reference under autodiff.
+The attention core dispatches to the Pallas flash kernels on TPU for both
+inference and training (the kernels carry a first-order custom VJP); only
+regions differentiated twice — the WGAN gradient-penalty grad-of-grad —
+trace the jnp/blocked reference via `disable_pallas()`.
 """
 
 from __future__ import annotations
@@ -114,6 +116,11 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
+        # prevent_cse stays at its default (True): the fused train step puts
+        # a layer's forward AND backward inside the same lax.scan body, so
+        # without the barrier XLA would CSE the recomputation against the
+        # forward instance and re-store the activations — undoing the remat
+        # that the 16k-patch single-chip envelope depends on (BASELINE.md)
         layer_cls = (nn.remat(TransformerEncoderLayer, static_argnums=(3,))
                      if self.remat else TransformerEncoderLayer)
         for i in range(self.num_layers):

@@ -109,7 +109,8 @@ class WGANGPEngine:
             return x + gate * noise
 
         def critic_update(state, real, cond, key):
-            kz, ka, kgate, kn1, kn2, kd1, kd2, kd3 = jax.random.split(key, 8)
+            kz, ka, kgate, kn1, kn2, kd1, kd2, kd2b, kd3 = \
+                jax.random.split(key, 9)
             z = jax.random.normal(kz, (real.shape[0], m.latent_dim))
             gate = (jax.random.bernoulli(kgate, t.p_aug) if t.p_aug > 0
                     else jnp.zeros(()))
@@ -118,8 +119,10 @@ class WGANGPEngine:
             real_a = augment(real, kn2, gate)
 
             def loss_fn(d_params):
+                # independent dropout keys per forward, matching the
+                # reference's per-call torch dropout draws
                 d_real = disc_fwd(d_params, real_a, cond, kd2)
-                d_fake = disc_fwd(d_params, fake_a, cond, kd2)
+                d_fake = disc_fwd(d_params, fake_a, cond, kd2b)
                 loss, loss_r, loss_f = losses.d_loss(d_real, d_fake)
                 # GP is grad-of-grad: the Pallas attention kernels (custom
                 # VJP, first-order) must trace the jnp reference here; the

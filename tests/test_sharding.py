@@ -72,3 +72,30 @@ def test_data_only_mesh(tiny_data, make_tiny_cfg):
     state = eng.init_state(0, batch)
     state, m = eng.step(state, batch)
     assert np.isfinite(float(m["d_loss"]))
+
+
+def test_step_many_on_mesh_matches_sequential(tiny_data, make_tiny_cfg):
+    """The production fit path — `lax.scan` of K fused steps — on the 4x2
+    mesh must match K sequential single-device steps (same stacked batches)."""
+    cfg = make_tiny_cfg("film")
+    loader = Batches(tiny_data, batch_size=8, seed=0, shuffle=False)
+    stacked = loader.stacked_epoch(0)
+    K = next(iter(stacked.values())).shape[0]
+    assert K >= 2
+
+    eng1 = WGANGPEngine(cfg, steps_per_epoch=K)
+    s1 = eng1.init_state(0, {k: v[0] for k, v in stacked.items()})
+    m1 = None
+    for i in range(K):
+        s1, m1 = eng1.step(s1, {k: v[i] for k, v in stacked.items()})
+
+    mesh = make_mesh(data=4, model=2)
+    eng2 = WGANGPEngine(cfg, steps_per_epoch=K, mesh=mesh)
+    s2 = eng2.init_state(0, {k: v[0] for k, v in stacked.items()})
+    s2, m2 = eng2.step_many(s2, stacked)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=5e-4,
+                                   atol=5e-5, err_msg=k)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5),
+                 jax.device_get(s1.g_params), jax.device_get(s2.g_params))
