@@ -73,6 +73,12 @@ def main(argv=None):
     if meta["disease_vocab"]:
         fusion_kw = dict(n_disease_types=len(meta["disease_vocab"]),
                          n_primary_sites=len(meta["site_vocab"]))
+    # size the fusion stack from the loaded data, not the canonical defaults
+    # (contrastive-projected embeddings are 128-d, not 768/1024)
+    for src, dst in (("patch_dim", "patch_dim"), ("text_dim", "text_dim"),
+                     ("num_tokens", "max_tokens")):
+        if src in meta:
+            fusion_kw[dst] = meta[src]
     cfg = variant_config(args.variant, n_genes=meta["n_genes"], fusion_kw=fusion_kw)
     cfg = dataclasses.replace(
         cfg,
@@ -103,7 +109,11 @@ def main(argv=None):
         results = exp.evaluate()
     else:
         results = exp.fit()
-        results["utility"] = exp.posthoc_utility()
+        # TSTR utility needs label dumps — conditional variants only (the
+        # reference runs UtilityEvaluator only in the conditional mains,
+        # e.g. conditional_gan_concat.py:1075-1083)
+        if "disease" in splits["train"]:
+            results["utility"] = exp.posthoc_utility()
         results["privacy"] = exp.posthoc_privacy()
 
     out_file = os.path.join(exp.out_dir, "results.json")

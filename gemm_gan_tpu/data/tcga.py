@@ -214,4 +214,15 @@ def load_tcga(data_dir: str, schema: str = "genes", num_patches: int = 256,
         "n_genes": expr.shape[1], "disease_vocab": d_vocab, "site_vocab": s_vocab,
         "split_indices": idx_of,
     }
+    # record modality dims so callers can size fusion configs from the data
+    # (the reference supports non-canonical widths, e.g. 128-d contrastive
+    # projections from src/preprocess_embeddings.py)
+    train = splits["train"]
+    if "patches" in train:
+        splits["meta"]["patch_dim"] = int(train["patches"].shape[-1])
+    if "tokens" in train:
+        splits["meta"]["text_dim"] = int(train["tokens"].shape[-1])
+        splits["meta"]["num_tokens"] = int(train["tokens"].shape[1])
+    elif "text_emb" in train:
+        splits["meta"]["text_dim"] = int(train["text_emb"].shape[-1])
     return splits

@@ -1,0 +1,91 @@
+"""End-to-end CLI integration: `cli.train.main` over a fabricated TCGA
+artifact layout (the reference's per-file __main__ protocol, one CLI).
+Uses non-canonical embedding dims (12-d text, 16-d patches) to pin the
+fusion-sized-from-data behavior (the reference's contrastive embeddings are
+128-d, not 768/1024)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+N_CASES = 30
+N_GENES = 40
+PATCH_DIM = 16
+TEXT_DIM = 12
+TOKENS = 6
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tcga_cli")
+    rng = np.random.RandomState(0)
+    cases = [f"case-{i:03d}" for i in range(N_CASES)]
+
+    expr = rng.rand(N_CASES, N_GENES) * 8
+    genes = [f"ENSG{i:05d}" for i in range(N_GENES)]
+    pd.DataFrame(expr, index=pd.Index(cases, name="case_id"),
+                 columns=genes).to_parquet(os.path.join(d, "rna_seq.parquet"))
+
+    cls = pd.DataFrame(rng.randn(N_CASES, TEXT_DIM).astype(np.float32),
+                       index=pd.Index(cases, name="case_id"))
+    cls.columns = [str(c) for c in cls.columns]
+    cls.to_parquet(os.path.join(d, "clinical_modernbert_embeddings.parquet"))
+
+    pdir = os.path.join(d, "patch_embeddings_uni")
+    tdir = os.path.join(d, "clinical_modernbert_embeddings")
+    os.makedirs(pdir)
+    os.makedirs(tdir)
+    for i, c in enumerate(cases):
+        np.save(os.path.join(pdir, f"{c}.npy"),
+                rng.randn(rng.randint(2, 12), PATCH_DIM).astype(np.float32))
+        np.save(os.path.join(tdir, f"{c}.npy"),
+                rng.randn(TOKENS, TEXT_DIM).astype(np.float32))
+        np.save(os.path.join(tdir, f"{c}_attention_mask.npy"),
+                (np.arange(TOKENS) < rng.randint(2, TOKENS + 1)))
+
+    metainfos = {c: {"disease_type": ["Adeno", "Squamous", "Glioma"][i % 3],
+                     "primary_site": ["Lung", "Brain"][i % 2]}
+                 for i, c in enumerate(cases)}
+    with open(os.path.join(d, "metainfos.pkl"), "wb") as f:
+        pickle.dump(metainfos, f)
+    return str(d)
+
+
+def test_cli_train_film_end_to_end(data_dir, tmp_path):
+    from gemm_gan_tpu.cli.train import main
+
+    out = str(tmp_path / "out")
+    main(["--variant", "film", "--data_dir", data_dir,
+          "--output_path", out, "--run_name", "cli_smoke",
+          "--batch_size", "8", "--epochs", "2", "--latent_dim", "8",
+          "--hidden_dim", "16", "--num_patches", "8",
+          "--freq_compute_test", "10", "--mesh_model", "1"])
+    run_dir = os.path.join(out, "cli_smoke")
+    with open(os.path.join(run_dir, "results.json")) as f:
+        res = json.load(f)
+    assert np.isfinite(res["gamma_mean"])
+    dumps = [p for p in os.listdir(run_dir) if p.startswith("test_")]
+    assert dumps, "test dump dirs missing"
+    assert os.path.exists(os.path.join(run_dir, "ckpt"))
+
+
+def test_cli_train_evaluate_only(data_dir, tmp_path):
+    """--evaluate_only must restore the checkpoint written by a previous run
+    (reference `evaluate()` reload protocol)."""
+    from gemm_gan_tpu.cli.train import main
+
+    out = str(tmp_path / "out2")
+    args = ["--variant", "vanilla", "--data_dir", data_dir,
+            "--output_path", out, "--run_name", "cli_eval",
+            "--batch_size", "8", "--epochs", "2", "--latent_dim", "8",
+            "--hidden_dim", "16", "--freq_compute_test", "10",
+            "--mesh_model", "1"]
+    main(args)
+    main(args + ["--evaluate_only"])
+    with open(os.path.join(out, "cli_eval", "results.json")) as f:
+        res = json.load(f)
+    assert np.isfinite(res["gamma_mean"])
