@@ -89,3 +89,22 @@ def test_cli_train_evaluate_only(data_dir, tmp_path):
     with open(os.path.join(out, "cli_eval", "results.json")) as f:
         res = json.load(f)
     assert np.isfinite(res["gamma_mean"])
+
+
+@pytest.mark.parametrize("variant", ["vae", "cvae"])
+def test_cli_train_vae_family(variant, data_dir, tmp_path):
+    from gemm_gan_tpu.cli.train import main
+
+    out = str(tmp_path / "out_vae")
+    res = main(["--variant", variant, "--data_dir", data_dir,
+                "--output_path", out, "--run_name", f"cli_{variant}",
+                "--batch_size", "8", "--epochs", "2", "--latent_dim", "8",
+                "--hidden_dim", "16", "--freq_compute_test", "10",
+                "--mesh_model", "1"])
+    assert np.isfinite(res["gamma_mean"])
+    run_dir = os.path.join(out, f"cli_{variant}")
+    dumps = [p for p in os.listdir(run_dir) if p.startswith("test_")]
+    assert dumps
+    if variant == "cvae":
+        files = os.listdir(os.path.join(run_dir, dumps[0]))
+        assert "train_labels_primary_site_real.npy" in files
