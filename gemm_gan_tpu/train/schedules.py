@@ -39,7 +39,11 @@ def make_optimizer(cfg: TrainConfig, lr: float, steps_per_epoch: int,
                    clip_grad: Optional[float] = None) -> optax.GradientTransformation:
     schedule = halving_schedule(lr, steps_per_epoch, cfg.lr_halve_every_epochs)
     if cfg.optimizer == "rmsprop":
-        tx = optax.rmsprop(schedule)
+        # match torch.optim.RMSprop semantics the reference trains with:
+        # alpha=0.99 (optax default decay=0.9 adapts 10x faster and was
+        # observed to destabilize the WGAN critic) and eps OUTSIDE the
+        # sqrt (optax default puts it inside)
+        tx = optax.rmsprop(schedule, decay=0.99, eps=1e-8, eps_in_sqrt=False)
     elif cfg.optimizer == "adam":
         tx = optax.adam(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2)
     elif cfg.optimizer == "adamw":

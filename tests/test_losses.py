@@ -62,3 +62,34 @@ def test_gp_differentiable_wrt_params(rng):
     g = jax.grad(loss)(w)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_rmsprop_matches_torch_semantics():
+    """The reference trains with torch.optim.RMSprop (alpha=0.99, eps outside
+    the sqrt). The optax defaults (decay=0.9, eps inside) adapt 10x faster
+    and destabilized the WGAN critic; pin the trajectory to torch's."""
+    import jax.numpy as jnp
+    import torch
+
+    from gemm_gan_tpu.config import TrainConfig
+    from gemm_gan_tpu.train.schedules import make_optimizer
+
+    cfg = TrainConfig(optimizer="rmsprop", lr_halve_every_epochs=10**9)
+    tx = make_optimizer(cfg, lr=5e-4, steps_per_epoch=1)
+    rng = np.random.RandomState(0)
+    grads = rng.randn(50, 7).astype(np.float32)
+
+    p_jax = jnp.zeros(7)
+    state = tx.init(p_jax)
+    p_torch = torch.zeros(7, requires_grad=True)
+    opt = torch.optim.RMSprop([p_torch], lr=5e-4)
+
+    import optax
+
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, p_jax)
+        p_jax = optax.apply_updates(p_jax, updates)
+        p_torch.grad = torch.from_numpy(g.copy())
+        opt.step()
+    np.testing.assert_allclose(np.asarray(p_jax), p_torch.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
