@@ -102,6 +102,10 @@ class TrainConfig:
     # grad-norm clipping (film+xattn variant only in reference :414,457)
     clip_grad_disc: Optional[float] = None
     clip_grad_gen: Optional[float] = None
+    # ε-drift penalty on critic score scale (beyond reference, off by
+    # default; see train/losses.py drift_penalty) — set ~1e-3 for
+    # long-horizon training runs
+    drift_epsilon: float = 0.0
     freq_compute_test: int = 50
     freq_print: int = 10
     n_runs_test: int = 2

@@ -131,8 +131,11 @@ class WGANGPEngine:
                     gp = losses.gradient_penalty(
                         lambda x: disc_fwd(d_params, x, cond, kd3),
                         real_a, fake_a, ka)
-                return loss + t.gp_weight * gp, (loss, gp, jnp.mean(d_real),
-                                                 jnp.mean(d_fake))
+                total = loss + t.gp_weight * gp
+                if t.drift_epsilon > 0:
+                    total = total + t.drift_epsilon * losses.drift_penalty(
+                        d_real, d_fake)
+                return total, (loss, gp, jnp.mean(d_real), jnp.mean(d_fake))
 
             grads, aux = jax.grad(loss_fn, has_aux=True)(state.d_params)
             updates, d_opt = d_tx.update(grads, state.d_opt_state, state.d_params)

@@ -93,3 +93,39 @@ def test_rmsprop_matches_torch_semantics():
         opt.step()
     np.testing.assert_allclose(np.asarray(p_jax), p_torch.detach().numpy(),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_drift_penalty_value_and_wiring():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.train.losses import drift_penalty
+
+    r = jnp.asarray([1.0, -2.0])
+    f = jnp.asarray([3.0, 0.0])
+    np.testing.assert_allclose(float(drift_penalty(r, f)), 2.5 + 4.5)
+
+    # wiring: with a large epsilon the critic is pulled toward zero scores,
+    # so |d_real|+|d_fake| after a few steps is smaller than without it
+    import gemm_gan_tpu as gg
+    from gemm_gan_tpu.data.loader import Batches
+    from gemm_gan_tpu.data.synthetic import synthetic_dataset
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    data = {"genes": synthetic_dataset(n=32, n_genes=24)["genes"]}
+    batch = next(iter(Batches(data, batch_size=16, seed=0, shuffle=False)))
+
+    def scale_after(eps):
+        cfg = gg.variant_config("vanilla", n_genes=24)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, drift_epsilon=eps))
+        eng = WGANGPEngine(cfg, steps_per_epoch=2)
+        s = eng.init_state(0, batch)
+        m = None
+        for _ in range(30):
+            s, m = eng.step(s, batch)
+        return abs(float(m["d_real"])) + abs(float(m["d_fake"]))
+
+    assert scale_after(1.0) < scale_after(0.0)
