@@ -10,9 +10,11 @@ would blow VMEM/HBM — a capability the reference lacks (it random-subsamples
 patches instead, src/multi_patch_gan_dataloader.py:32-35).
 
 A custom VJP pairs the forward kernel with flash backward kernels (dQ and
-dK/dV passes over saved logsumexp), so the Pallas path also runs inside the
-fused WGAN-GP training step — including through the gradient-penalty
-grad-of-grad, which falls back to the jnp reference at second order.
+dK/dV passes over saved logsumexp), so the Pallas path runs everywhere in
+the fused WGAN-GP training step. First order suffices even for the
+gradient penalty: the engine evaluates the fusion stack once outside the
+GP's inner grad (train/wgan.py), so attention is only ever differentiated
+once — by the outer parameter gradient.
 
 Masks are boolean with **True = valid** (the reference inverts HF masks into
 torch's True=pad convention, src/multi_patch_multi_token_gan_dataloader.py:46-47;
@@ -356,10 +358,12 @@ def mha_reference_blocked(q, k, v, kv_mask=None, scale=None,
 
     Never materializes the full [B, H, Lq, Lk] logits — peak extra memory is
     one [B, H, block_q, Lk] block — while staying plain jnp, so it is
-    differentiable to ANY order. This is the long-sequence path for regions
-    that need second-order autodiff (the WGAN gradient-penalty grad-of-grad,
-    where the first-order-only Pallas kernels don't apply): at whole-slide
-    patch counts (10k+) the naive reference's L^2 buffer would not fit.
+    differentiable to ANY order. This is the long-sequence fallback when the
+    Pallas kernels are unavailable (CPU) or a region genuinely needs
+    second-order autodiff through attention (the training engine needs
+    neither: the GP inner grad never reaches attention — train/wgan.py): at
+    whole-slide patch counts (10k+) the naive reference's L^2 buffer would
+    not fit.
     """
     B, H, Lq, D = q.shape
     if Lq <= block_q:
@@ -396,9 +400,10 @@ def _pallas_disabled() -> bool:
 def disable_pallas():
     """Trace-time escape hatch: ops traced inside this context use the jnp
     reference even when configured for Pallas. The flash kernels carry a
-    custom VJP (first-order only); regions that are differentiated TWICE —
-    the WGAN gradient-penalty grad-of-grad — must trace the reference path,
-    while everything else in the same jitted step keeps the kernels.
+    custom VJP (first-order only); any region differentiated TWICE through
+    attention must trace the reference path. The shipped training engine has
+    no such region (the GP embeds the condition outside its inner grad), so
+    this is unused there — kept for tests and future second-order uses.
     Thread-local so concurrent traces in other threads are unaffected."""
     prev = _pallas_disabled()
     _TRACE_FLAGS.disabled = True

@@ -66,22 +66,47 @@ class Critic(_Conditioned):
     Named Critic (it scores, not classifies), but provides the reference's
     `discriminator` capability. The score head stays f32: WGAN losses and the
     gradient penalty are variance-sensitive (SURVEY.md §7 hard part 7).
+
+    Structured as `score(x, embed_cond(cond))` with both halves exposed as
+    Flax methods: the critic is trunk([x ∥ fusion(cond)]) and the gradient
+    penalty differentiates w.r.t. the expression x only (reference
+    /root/reference/src/conditional_gan_concat.py:332-337 takes
+    `autograd.grad(..., inputs=interpolated)`), so the training engine
+    evaluates `embed_cond` ONCE outside the inner grad and only the MLP
+    trunk is differentiated twice. Parameter tree ("fusion", "trunk") is
+    identical to the previous single-`__call__` layout.
     """
 
     cfg: ModelConfig
 
-    @nn.compact
-    def __call__(self, x, cond: Optional[dict] = None, deterministic: bool = True,
-                 train: bool = False):
+    def setup(self):
         from gemm_gan_tpu.ops.mlp import MLPTrunk
 
-        cvec = self.cond_vector(cond, deterministic)
-        h = x if cvec is None else jnp.concatenate([x, cvec], axis=-1)
-        return MLPTrunk(
+        self.fusion = build_fusion(self.cfg.fusion, dtype=self._dtype(),
+                                   name=None, mesh=self.mesh)
+        self.trunk = MLPTrunk(
             hidden_dims=self.cfg.disc_dims,
             out_dim=1,
             negative_slope=self.cfg.negative_slope,
             use_batchnorm=self.cfg.use_batchnorm,
             dtype=self._dtype(),
-            name="trunk",
-        )(h, train=train)
+        )
+
+    def embed_cond(self, cond: Optional[dict], deterministic: bool = True):
+        """Fusion half: conditioning dict -> [B, cond_dim] f32 (or None)."""
+        if self.fusion is None:
+            return None
+        if cond is None:
+            raise ValueError(
+                f"fusion kind {self.cfg.fusion.kind!r} requires conditioning inputs "
+                f"(batch keys like 'text_emb'/'patches'/'tokens'/'disease'), got none")
+        return self.fusion(cond, deterministic=deterministic).astype(jnp.float32)
+
+    def score(self, x, cvec=None, train: bool = False):
+        """Trunk half: expression [B, n_genes] (+ fixed cond vector) -> [B, 1]."""
+        h = x if cvec is None else jnp.concatenate([x, cvec], axis=-1)
+        return self.trunk(h, train=train)
+
+    def __call__(self, x, cond: Optional[dict] = None, deterministic: bool = True,
+                 train: bool = False):
+        return self.score(x, self.embed_cond(cond, deterministic), train=train)

@@ -8,9 +8,12 @@ ReLU feed-forward match torch's `TransformerEncoderLayer` defaults.
 
 Masks use True = valid everywhere (see kernels/flash_attention.py docstring).
 The attention core dispatches to the Pallas flash kernels on TPU for both
-inference and training (the kernels carry a first-order custom VJP); only
-regions differentiated twice — the WGAN gradient-penalty grad-of-grad —
-trace the jnp/blocked reference via `disable_pallas()`.
+inference and training. The kernels carry a first-order custom VJP, which
+covers the entire fused WGAN-GP step: the gradient penalty differentiates
+the critic w.r.t. the expression input only, and the engine evaluates the
+fusion stack once *outside* that inner grad (train/wgan.py), so attention is
+never differentiated twice. `disable_pallas()` remains as a trace-time
+escape hatch for any future genuinely second-order region.
 """
 
 from __future__ import annotations
@@ -63,9 +66,9 @@ class MaskedMultiHeadAttention(nn.Module):
             out = ring_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
                            mesh=self.mesh, axis="model", batch_axis=batch_axis)
         else:
-            # the flash kernels are first-order differentiable (custom VJP);
-            # second-order regions (GP grad-of-grad) disable them at trace
-            # time via kernels.flash_attention.disable_pallas()
+            # the flash kernels are first-order differentiable (custom VJP),
+            # which suffices everywhere: the GP inner grad never reaches
+            # attention (the engine embeds the condition outside it)
             out = masked_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
                              use_pallas=self.use_pallas)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)

@@ -30,7 +30,6 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gemm_gan_tpu.config import ExperimentConfig
-from gemm_gan_tpu.kernels.flash_attention import disable_pallas
 from gemm_gan_tpu.models.gan import Critic, Generator
 from gemm_gan_tpu.parallel.sharding import batch_sharding, param_shardings
 from gemm_gan_tpu.train import losses
@@ -124,13 +123,24 @@ class WGANGPEngine:
                 d_real = disc_fwd(d_params, real_a, cond, kd2)
                 d_fake = disc_fwd(d_params, fake_a, cond, kd2b)
                 loss, loss_r, loss_f = losses.d_loss(d_real, d_fake)
-                # GP is grad-of-grad: the Pallas attention kernels (custom
-                # VJP, first-order) must trace the jnp reference here; the
-                # d_real/d_fake terms above keep the kernels
-                with disable_pallas():
-                    gp = losses.gradient_penalty(
-                        lambda x: disc_fwd(d_params, x, cond, kd3),
-                        real_a, fake_a, ka)
+                # GP: the penalty differentiates D w.r.t. the interpolated
+                # *expression* only (conditions fixed, reference :332-337),
+                # and the critic is trunk([x ∥ fusion(cond)]) — so the fusion
+                # stack is evaluated ONCE here, outside the inner grad, and
+                # enters it as a constant. Only the small MLP trunk is
+                # differentiated twice; the Pallas flash kernels (first-order
+                # custom VJP) serve the whole step with no jnp fallback and
+                # no closed-over-custom_vjp restriction, and at whole-slide
+                # patch counts the GP costs O(trunk), not O(attention).
+                cvec = None
+                if cond is not None:
+                    cvec = disc.apply(
+                        {"params": d_params}, cond, deterministic=False,
+                        rngs={"dropout": kd3}, method="embed_cond")
+                gp = losses.gradient_penalty(
+                    lambda x: disc.apply({"params": d_params}, x, cvec,
+                                         method="score"),
+                    real_a, fake_a, ka)
                 total = loss + t.gp_weight * gp
                 if t.drift_epsilon > 0:
                     total = total + t.drift_epsilon * losses.drift_penalty(

@@ -1,0 +1,77 @@
+"""Whole-slide patch-count scaling probe (single chip).
+
+Measures fused WGAN-GP steps/sec on the flagship variant (FiLM + patch CLS
+transformer + bidirectional CLS cross-attention) as the patch count grows
+from the reference's 256-patch ceiling (it random-subsamples instead of
+scaling, /root/reference/src/multi_patch_gan_dataloader.py:32-35) to
+whole-slide counts. Run on the real chip:
+
+    python -u scripts/probe_whole_slide.py [P ...]     # default 4096 8192 16384
+
+Prints one JSON line per patch count. Methodology matches bench.py: the
+`lax.scan` multi-step path (one device program per call) timed over
+steady-state calls after a compile+warmup call.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+B = 8
+N_GENES = 18868
+PATCH_DIM = 1024
+N_TOKENS = 300
+TEXT_DIM = 768
+
+
+def probe(n_patches: int, scan_len: int = 4, n_calls: int = 3,
+          remat_layers: bool = False) -> float:
+    import jax
+
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    cfg = variant_config(
+        "film_cross_attention", n_genes=N_GENES,
+        fusion_kw=dict(remat_layers=remat_layers))
+    eng = WGANGPEngine(cfg, steps_per_epoch=100)
+    rng = np.random.RandomState(0)
+    batch = {
+        "genes": rng.randn(B, N_GENES).astype(np.float32),
+        "tokens": rng.randn(B, N_TOKENS, TEXT_DIM).astype(np.float32),
+        "token_mask": np.ones((B, N_TOKENS), dtype=bool),
+        "patches": rng.randn(B, n_patches, PATCH_DIM).astype(np.float32),
+        "patch_mask": np.ones((B, n_patches), dtype=bool),
+    }
+    stacked = {k: jax.device_put(np.broadcast_to(v, (scan_len,) + v.shape).copy())
+               for k, v in batch.items()}
+    state = eng.init_state(0, {k: jax.device_put(v) for k, v in batch.items()})
+    state, m = eng.step_many(state, stacked)  # compile + warmup
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, m = eng.step_many(state, stacked)
+    jax.block_until_ready(m)
+    return scan_len * n_calls / (time.perf_counter() - t0)
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [4096, 8192, 16384]
+    for p in sizes:
+        try:
+            sps = probe(p)
+            print(json.dumps({"metric": "wgan_gp_steps_per_sec",
+                              "n_patches": p, "value": round(sps, 2)}),
+                  flush=True)
+        except Exception as e:  # OOM at the single-chip ceiling is expected
+            print(json.dumps({"metric": "wgan_gp_steps_per_sec",
+                              "n_patches": p, "error": repr(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -117,3 +117,62 @@ def test_step_many_matches_sequential(tiny_data, make_tiny_cfg):
                                    err_msg=k)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), s1.g_params, s2.g_params)
+
+
+def test_gp_cond_embed_hoist_is_exact(tiny_data, make_tiny_cfg):
+    """The engine computes the critic's condition embedding ONCE outside the
+    gradient-penalty inner grad (train/wgan.py). Because the penalty
+    differentiates w.r.t. the interpolated expression only (reference
+    /root/reference/src/conditional_gan_concat.py:332-337), this must be
+    bitwise-identical — value AND outer parameter gradients — to tracing the
+    full critic forward inside the inner grad."""
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.train import losses
+
+    cfg = make_tiny_cfg("film_cross_attention")
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    batch = next(iter(Batches(tiny_data, batch_size=8, seed=0, shuffle=False)))
+    state = eng.init_state(0, batch)
+    disc = eng.disc
+    cond = {k: jnp.asarray(batch[k]) for k in
+            ("tokens", "token_mask", "patches", "patch_mask") if k in batch}
+    real = jnp.asarray(batch["genes"])
+    fake = real[::-1]
+    ka, kd = jax.random.key(1), jax.random.key(2)
+
+    def gp_full(p):
+        return losses.gradient_penalty(
+            lambda x: disc.apply({"params": p}, x, cond, deterministic=False,
+                                 rngs={"dropout": kd}), real, fake, ka)
+
+    def gp_hoisted(p):
+        cvec = disc.apply({"params": p}, cond, deterministic=False,
+                          rngs={"dropout": kd}, method="embed_cond")
+        return losses.gradient_penalty(
+            lambda x: disc.apply({"params": p}, x, cvec, method="score"),
+            real, fake, ka)
+
+    v_full, g_full = jax.value_and_grad(gp_full)(state.d_params)
+    v_hoist, g_hoist = jax.value_and_grad(gp_hoisted)(state.d_params)
+    assert float(v_full) == float(v_hoist)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        g_full, g_hoist)
+
+
+def test_critic_methods_compose(tiny_data, make_tiny_cfg):
+    """Critic.__call__ == Critic.score(x, Critic.embed_cond(cond))."""
+    cfg = make_tiny_cfg("film_cross_attention")
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    batch = next(iter(Batches(tiny_data, batch_size=8, seed=0, shuffle=False)))
+    state = eng.init_state(0, batch)
+    import jax.numpy as jnp
+    cond = {k: jnp.asarray(batch[k]) for k in
+            ("tokens", "token_mask", "patches", "patch_mask") if k in batch}
+    x = jnp.asarray(batch["genes"])
+    p = {"params": state.d_params}
+    full = eng.disc.apply(p, x, cond, deterministic=True)
+    cvec = eng.disc.apply(p, cond, deterministic=True, method="embed_cond")
+    composed = eng.disc.apply(p, x, cvec, method="score")
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(composed))

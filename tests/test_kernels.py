@@ -88,8 +88,9 @@ def test_fully_masked_rows_are_zero(rng):
 def test_training_step_with_pallas_matches_reference(monkeypatch):
     """Full fused WGAN-GP step with the Pallas attention kernels enabled
     (interpret mode, patch length >= MIN_PALLAS_LQ) must match the jnp
-    reference path: the kernels carry the first-order terms while the GP
-    grad-of-grad region traces the reference via disable_pallas()."""
+    reference path. The kernels carry ALL attention terms, including inside
+    the gradient-penalty region: the engine embeds the condition outside the
+    GP's inner grad, so first-order custom VJPs suffice end to end."""
     import dataclasses
 
     import gemm_gan_tpu as gg
