@@ -16,10 +16,13 @@ steady-state calls after a compile+warmup call.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B = 8
 N_GENES = 18868
