@@ -106,6 +106,17 @@ class TrainConfig:
     # default; see train/losses.py drift_penalty) — set ~1e-3 for
     # long-horizon training runs
     drift_epsilon: float = 0.0
+    # Condition-embedding reuse inside the fused step (beyond reference).
+    # "per_call": reference parity — every G/D forward embeds the
+    #   conditioning afresh (independent dropout draws per call).
+    # "per_update": the conditioning is constant across the step and the
+    #   generator params are constant across the n_critic critic updates,
+    #   so embed once per critic/generator update (critic) and once per
+    #   step (generator fake path) and reuse the vector — collapses ~22
+    #   fusion evaluations per step to ~8. EXACT (bitwise) when
+    #   fusion.dropout == 0; with dropout > 0 it shares one dropout draw
+    #   across the scores inside an update (tests/test_engine.py).
+    cond_embed_reuse: str = "per_call"  # per_call | per_update
     freq_compute_test: int = 50
     freq_print: int = 10
     n_runs_test: int = 2

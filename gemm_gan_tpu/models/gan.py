@@ -27,37 +27,51 @@ class _Conditioned(nn.Module):
     def _dtype(self):
         return _DTYPES[self.cfg.compute_dtype]
 
-    def cond_vector(self, cond: Optional[dict], deterministic: bool):
-        fusion = build_fusion(self.cfg.fusion, dtype=self._dtype(), name="fusion", mesh=self.mesh)
-        if fusion is None:
-            return None
-        if cond is None:
-            raise ValueError(
-                f"fusion kind {self.cfg.fusion.kind!r} requires conditioning inputs "
-                f"(batch keys like 'text_emb'/'patches'/'tokens'/'disease'), got none")
-        return fusion(cond, deterministic=deterministic).astype(jnp.float32)
-
 
 class Generator(_Conditioned):
-    """z [B, latent] (+ cond dict) -> gene-expression vector [B, n_genes]."""
+    """z [B, latent] (+ cond dict) -> gene-expression vector [B, n_genes].
+
+    Like `Critic`, structured as `score(z, embed_cond(cond))` with both
+    halves exposed as Flax methods: the conditioning inputs are constant
+    across a fused training step and the generator params are constant
+    across its n_critic critic updates, so the engine's opt-in
+    `cond_embed_reuse="per_update"` mode embeds once and reuses the vector
+    (train/wgan.py). Parameter tree ("fusion", "trunk") is unchanged.
+    """
 
     cfg: ModelConfig
 
-    @nn.compact
-    def __call__(self, z, cond: Optional[dict] = None, deterministic: bool = True,
-                 train: bool = False):
+    def setup(self):
         from gemm_gan_tpu.ops.mlp import MLPTrunk
 
-        cvec = self.cond_vector(cond, deterministic)
-        x = z if cvec is None else jnp.concatenate([z, cvec], axis=-1)
-        return MLPTrunk(
+        self.fusion = build_fusion(self.cfg.fusion, dtype=self._dtype(),
+                                   name=None, mesh=self.mesh)
+        self.trunk = MLPTrunk(
             hidden_dims=self.cfg.gen_dims,
             out_dim=self.cfg.n_genes,
             negative_slope=self.cfg.negative_slope,
             use_batchnorm=self.cfg.use_batchnorm,
             dtype=self._dtype(),
-            name="trunk",
-        )(x, train=train)
+        )
+
+    def embed_cond(self, cond: Optional[dict], deterministic: bool = True):
+        """Fusion half: conditioning dict -> [B, cond_dim] f32 (or None)."""
+        if self.fusion is None:
+            return None
+        if cond is None:
+            raise ValueError(
+                f"fusion kind {self.cfg.fusion.kind!r} requires conditioning inputs "
+                f"(batch keys like 'text_emb'/'patches'/'tokens'/'disease'), got none")
+        return self.fusion(cond, deterministic=deterministic).astype(jnp.float32)
+
+    def score(self, z, cvec=None, train: bool = False):
+        """Trunk half: latent [B, latent] (+ fixed cond vector) -> [B, n_genes]."""
+        x = z if cvec is None else jnp.concatenate([z, cvec], axis=-1)
+        return self.trunk(x, train=train)
+
+    def __call__(self, z, cond: Optional[dict] = None, deterministic: bool = True,
+                 train: bool = False):
+        return self.score(z, self.embed_cond(cond, deterministic), train=train)
 
 
 class Critic(_Conditioned):

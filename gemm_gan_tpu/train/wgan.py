@@ -92,6 +92,11 @@ class WGANGPEngine:
         t, m = cfg.train, cfg.model
         gen, disc = self.gen, self.disc
         g_tx, d_tx = self.g_tx, self.d_tx
+        if t.cond_embed_reuse not in ("per_call", "per_update"):
+            raise ValueError(
+                f"cond_embed_reuse must be 'per_call' or 'per_update', "
+                f"got {t.cond_embed_reuse!r}")
+        reuse = t.cond_embed_reuse == "per_update"
 
         def gen_fwd(g_params, z, cond, key):
             return gen.apply({"params": g_params}, z, cond, deterministic=False,
@@ -107,36 +112,56 @@ class WGANGPEngine:
             noise = jax.random.normal(key, x.shape, dtype=x.dtype) * t.norm_scale
             return x + gate * noise
 
-        def critic_update(state, real, cond, key):
+        def critic_update(state, real, cond, key, g_cvec):
             kz, ka, kgate, kn1, kn2, kd1, kd2, kd2b, kd3 = \
                 jax.random.split(key, 9)
             z = jax.random.normal(kz, (real.shape[0], m.latent_dim))
             gate = (jax.random.bernoulli(kgate, t.p_aug) if t.p_aug > 0
                     else jnp.zeros(()))
-            fake = jax.lax.stop_gradient(gen_fwd(state.g_params, z, cond, kd1))
+            if g_cvec is not None:
+                # per_update reuse: the generator params (and cond) are
+                # constant across the n_critic critic updates, so the
+                # generator's condition embedding was computed once per step
+                fake = jax.lax.stop_gradient(gen.apply(
+                    {"params": state.g_params}, z, g_cvec, method="score"))
+            else:
+                fake = jax.lax.stop_gradient(gen_fwd(state.g_params, z, cond, kd1))
             fake_a = augment(fake, kn1, gate)
             real_a = augment(real, kn2, gate)
 
             def loss_fn(d_params):
-                # independent dropout keys per forward, matching the
-                # reference's per-call torch dropout draws
-                d_real = disc_fwd(d_params, real_a, cond, kd2)
-                d_fake = disc_fwd(d_params, fake_a, cond, kd2b)
+                if reuse and cond is not None:
+                    # one embedding per critic update, shared by the real
+                    # score, the fake score, and the GP (exact when
+                    # fusion.dropout == 0 — the three evaluations are then
+                    # identical computations)
+                    cvec = disc.apply(
+                        {"params": d_params}, cond, deterministic=False,
+                        rngs={"dropout": kd2}, method="embed_cond")
+                    d_real = disc.apply({"params": d_params}, real_a, cvec,
+                                        method="score")
+                    d_fake = disc.apply({"params": d_params}, fake_a, cvec,
+                                        method="score")
+                else:
+                    # independent dropout keys per forward, matching the
+                    # reference's per-call torch dropout draws
+                    d_real = disc_fwd(d_params, real_a, cond, kd2)
+                    d_fake = disc_fwd(d_params, fake_a, cond, kd2b)
+                    cvec = None
+                    if cond is not None:
+                        cvec = disc.apply(
+                            {"params": d_params}, cond, deterministic=False,
+                            rngs={"dropout": kd3}, method="embed_cond")
                 loss, loss_r, loss_f = losses.d_loss(d_real, d_fake)
                 # GP: the penalty differentiates D w.r.t. the interpolated
                 # *expression* only (conditions fixed, reference :332-337),
                 # and the critic is trunk([x ∥ fusion(cond)]) — so the fusion
-                # stack is evaluated ONCE here, outside the inner grad, and
+                # stack is evaluated ONCE, outside the inner grad, and
                 # enters it as a constant. Only the small MLP trunk is
                 # differentiated twice; the Pallas flash kernels (first-order
                 # custom VJP) serve the whole step with no jnp fallback and
                 # no closed-over-custom_vjp restriction, and at whole-slide
                 # patch counts the GP costs O(trunk), not O(attention).
-                cvec = None
-                if cond is not None:
-                    cvec = disc.apply(
-                        {"params": d_params}, cond, deterministic=False,
-                        rngs={"dropout": kd3}, method="embed_cond")
                 gp = losses.gradient_penalty(
                     lambda x: disc.apply({"params": d_params}, x, cvec,
                                          method="score"),
@@ -155,10 +180,22 @@ class WGANGPEngine:
         def gen_update(state, real, cond, key):
             kz, kd1, kd2 = jax.random.split(key, 3)
             z = jax.random.normal(kz, (real.shape[0], m.latent_dim))
+            d_cvec = None
+            if reuse and cond is not None:
+                # the critic scores the fake through trunk([fake ∥ cvec]);
+                # no generator gradient flows through the critic's fusion,
+                # so its embedding is computed once outside the loss
+                d_cvec = disc.apply(
+                    {"params": state.d_params}, cond, deterministic=False,
+                    rngs={"dropout": kd2}, method="embed_cond")
 
             def loss_fn(g_params):
                 fake = gen_fwd(g_params, z, cond, kd1)
-                scores = disc_fwd(state.d_params, fake, cond, kd2)
+                if d_cvec is not None:
+                    scores = disc.apply({"params": state.d_params}, fake,
+                                        d_cvec, method="score")
+                else:
+                    scores = disc_fwd(state.d_params, fake, cond, kd2)
                 return losses.g_loss(scores)
 
             gl, grads = jax.value_and_grad(loss_fn)(state.g_params)
@@ -170,10 +207,20 @@ class WGANGPEngine:
             real = batch["genes"]
             cond = cond_of(batch)
             key = jax.random.fold_in(state.key, state.step)
-            keys = jax.random.split(key, t.n_critic + 1)
+            # the extra key only exists in reuse mode so the per_call RNG
+            # stream is unchanged from the reference-parity path
+            keys = jax.random.split(key, t.n_critic + (2 if reuse else 1))
+            g_cvec = None
+            if reuse and cond is not None:
+                # generator params are constant until the generator update,
+                # so one embedding serves all n_critic fake generations
+                g_cvec = jax.lax.stop_gradient(gen.apply(
+                    {"params": state.g_params}, cond, deterministic=False,
+                    rngs={"dropout": keys[t.n_critic + 1]},
+                    method="embed_cond"))
             d_aux = None
             for i in range(t.n_critic):
-                state, d_aux = critic_update(state, real, cond, keys[i])
+                state, d_aux = critic_update(state, real, cond, keys[i], g_cvec)
             state, gl = gen_update(state, real, cond, keys[t.n_critic])
             d_total, gp, d_real, d_fake = d_aux
             metrics = {"d_loss": d_total, "g_loss": gl, "gp": gp,

@@ -32,7 +32,7 @@ TEXT_DIM = 768
 
 
 def probe(n_patches: int, scan_len: int = 4, n_calls: int = 3,
-          remat_layers: bool = False) -> float:
+          remat_layers: bool = False, reuse: bool = False) -> float:
     import jax
 
     from gemm_gan_tpu.config import variant_config
@@ -41,6 +41,11 @@ def probe(n_patches: int, scan_len: int = 4, n_calls: int = 3,
     cfg = variant_config(
         "film_cross_attention", n_genes=N_GENES,
         fusion_kw=dict(remat_layers=remat_layers))
+    if reuse:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           cond_embed_reuse="per_update"))
     eng = WGANGPEngine(cfg, steps_per_epoch=100)
     rng = np.random.RandomState(0)
     batch = {
@@ -63,16 +68,21 @@ def probe(n_patches: int, scan_len: int = 4, n_calls: int = 3,
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [4096, 8192, 16384]
+    args = sys.argv[1:]
+    reuse = "reuse" in args           # cond_embed_reuse="per_update"
+    remat = "remat" in args           # fusion.remat_layers=True
+    sizes = [int(a) for a in args if a.isdigit()] or [4096, 8192, 16384]
     for p in sizes:
         try:
-            sps = probe(p)
+            sps = probe(p, remat_layers=remat, reuse=reuse)
             print(json.dumps({"metric": "wgan_gp_steps_per_sec",
-                              "n_patches": p, "value": round(sps, 2)}),
+                              "n_patches": p, "reuse": reuse, "remat": remat,
+                              "value": round(sps, 2)}),
                   flush=True)
         except Exception as e:  # OOM at the single-chip ceiling is expected
             print(json.dumps({"metric": "wgan_gp_steps_per_sec",
-                              "n_patches": p, "error": repr(e)[:200]}),
+                              "n_patches": p, "reuse": reuse, "remat": remat,
+                              "error": repr(e)[:200]}),
                   flush=True)
 
 

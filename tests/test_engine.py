@@ -176,3 +176,82 @@ def test_critic_methods_compose(tiny_data, make_tiny_cfg):
     cvec = eng.disc.apply(p, cond, deterministic=True, method="embed_cond")
     composed = eng.disc.apply(p, x, cvec, method="score")
     np.testing.assert_array_equal(np.asarray(full), np.asarray(composed))
+
+
+def test_cond_embed_reuse_grads_match_when_no_dropout(tiny_data, make_tiny_cfg):
+    """With fusion.dropout == 0, the shared-embedding critic loss of
+    cond_embed_reuse='per_update' is the SAME function as the per-call loss
+    (each embed is an identical computation), so its parameter gradients
+    must match. Tolerance is tight but not bitwise: per_call sums three
+    separate fusion VJP contributions where per_update applies one VJP to
+    the summed cotangent — equal by VJP linearity, different float
+    summation order. (Step-level comparison is deliberately avoided:
+    RMSprop's g/sqrt(nu) normalization amplifies that reassociation
+    chaotically for near-zero-gradient parameters.)"""
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.train import losses
+
+    cfg = make_tiny_cfg("film_cross_attention", fusion_kw=dict(dropout=0.0))
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    batch = next(iter(Batches(tiny_data, batch_size=8, seed=0, shuffle=False)))
+    state = eng.init_state(0, batch)
+    disc = eng.disc
+    cond = {k: jnp.asarray(batch[k]) for k in
+            ("tokens", "token_mask", "patches", "patch_mask") if k in batch}
+    real = jnp.asarray(batch["genes"])
+    fake = real[::-1]
+    ka, kd = jax.random.key(1), jax.random.key(2)
+
+    def critic_loss(p, share):
+        if share:
+            cvec = disc.apply({"params": p}, cond, deterministic=False,
+                              rngs={"dropout": kd}, method="embed_cond")
+            d_real = disc.apply({"params": p}, real, cvec, method="score")
+            d_fake = disc.apply({"params": p}, fake, cvec, method="score")
+        else:
+            d_real = disc.apply({"params": p}, real, cond,
+                                deterministic=False, rngs={"dropout": kd})
+            d_fake = disc.apply({"params": p}, fake, cond,
+                                deterministic=False, rngs={"dropout": kd})
+            cvec = disc.apply({"params": p}, cond, deterministic=False,
+                              rngs={"dropout": kd}, method="embed_cond")
+        loss, _, _ = losses.d_loss(d_real, d_fake)
+        gp = losses.gradient_penalty(
+            lambda x: disc.apply({"params": p}, x, cvec, method="score"),
+            real, fake, ka)
+        return loss + 10.0 * gp
+
+    v_call, g_call = jax.value_and_grad(critic_loss)(state.d_params, False)
+    v_share, g_share = jax.value_and_grad(critic_loss)(state.d_params, True)
+    np.testing.assert_allclose(float(v_call), float(v_share), rtol=1e-6)
+    scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_call))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6 * scale),
+        g_call, g_share)
+
+
+def test_cond_embed_reuse_with_dropout_trains(tiny_data, make_tiny_cfg):
+    """With dropout > 0, per_update is a documented approximation (one
+    dropout draw shared within an update): the step must run and stay
+    finite; the next step must see fresh draws (different losses)."""
+    cfg = make_tiny_cfg("film_cross_attention",
+                        train_kw=dict(cond_embed_reuse="per_update"))
+    assert cfg.model.fusion.dropout > 0
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    batch = next(iter(Batches(tiny_data, batch_size=8, seed=0, shuffle=False)))
+    state = eng.init_state(0, batch)
+    state, m1 = eng.step(state, batch)
+    state, m2 = eng.step(state, batch)
+    assert all(np.isfinite(float(v)) for v in m1.values())
+    assert float(m1["g_loss"]) != float(m2["g_loss"])
+
+
+def test_cond_embed_reuse_rejects_unknown_mode(tiny_data, make_tiny_cfg):
+    cfg = make_tiny_cfg("vanilla", train_kw=dict(cond_embed_reuse="bogus"))
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    batch = {"genes": tiny_data["genes"][:8]}
+    state = eng.init_state(0, batch)
+    with pytest.raises(ValueError, match="cond_embed_reuse"):
+        eng.step(state, batch)
