@@ -132,33 +132,54 @@ def torch_baseline_steps_per_sec(n_steps: int = 3) -> float:
 
 
 # ----------------------------------------------------------------------- jax
-def jax_steps_per_sec(scan_len: int = 100, n_calls: int = 3) -> float:
+def jax_steps_per_sec(scan_len: int = 100, n_calls: int = 4,
+                      reuse: bool = False) -> float:
     """Production fit path: `lax.scan` of `scan_len` fused steps per device
-    program (the per-step dispatch path is ~9x slower — latency-bound)."""
+    program.
+
+    Timing methodology: every timed call is synchronized by fetching a
+    metric VALUE to the host (`jax.device_get`). On the tunneled `axon`
+    backend `jax.block_until_ready` returns before remote execution
+    finishes, so block-based timings measure the enqueue rate, not the
+    chip (measured: 50 canonical steps "complete" in 4 ms unsynced vs
+    ~23 ms/step actually executed). The first synced call is discarded
+    (remote warmup/autotuning); the best sustained call is reported.
+    """
     import jax
 
     from gemm_gan_tpu.config import variant_config
     from gemm_gan_tpu.train.wgan import WGANGPEngine
 
     cfg = variant_config("film_cross_attention", n_genes=N_GENES)
+    if reuse:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, cond_embed_reuse="per_update"))
     eng = WGANGPEngine(cfg, steps_per_epoch=100)
     rng = np.random.RandomState(0)
     batch = _batch(rng)
     stacked = {k: jax.device_put(np.broadcast_to(v, (scan_len,) + v.shape).copy())
                for k, v in batch.items()}
     state = eng.init_state(0, {k: jax.device_put(v) for k, v in batch.items()})
-    state, m = eng.step_many(state, stacked)  # compile + warmup
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
+    state, m = eng.step_many(state, stacked)       # compile
+    float(jax.device_get(m["d_loss"]))             # drain compile + warmup
+    times = []
     for _ in range(n_calls):
+        t0 = time.perf_counter()
         state, m = eng.step_many(state, stacked)
-    jax.block_until_ready(m)
-    return scan_len * n_calls / (time.perf_counter() - t0)
+        float(jax.device_get(m["d_loss"]))         # forces remote completion
+        times.append(time.perf_counter() - t0)
+    return scan_len / min(times[1:])               # steady state
 
 
 def main():
     base = torch_baseline_steps_per_sec()
-    ours = jax_steps_per_sec()
+    # production configuration: per-update condition-embedding reuse
+    # (train.cond_embed_reuse="per_update") — the conditioning is
+    # loop-invariant across the fused step, so ~22 fusion evaluations
+    # collapse to ~8. Reference-parity per_call measures ~43.6 steps/s
+    # on the same chip (BASELINE.md).
+    ours = jax_steps_per_sec(reuse=True)
     print(json.dumps({
         "metric": "wgan_gp_flagship_steps_per_sec",
         "value": round(ours, 4),

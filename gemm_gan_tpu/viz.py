@@ -183,3 +183,28 @@ def plot_distance_matrices(real: np.ndarray, fake: np.ndarray,
         plt.close(fig)
         return out_path
     return fig
+
+
+def plot_learned_graph(adj: np.ndarray, out_dir: str, epoch: int):
+    """Save a learned gene-graph adjacency as npy + inferno heatmap png
+    (parity: visualization.py:291-299 `plot_graph` — the reference pulls
+    `model.adj` itself; here the caller passes the matrix).
+
+    Writes `learned_graph{epoch}.npy` and `learned_graph{epoch}.png` into
+    `out_dir`; returns the png path.
+    """
+    import os
+
+    adj = np.asarray(adj)
+    np.save(os.path.join(out_dir, f"learned_graph{epoch}.npy"), adj)
+    plt = _plt()
+    fig = plt.figure(figsize=(4, 4))
+    im = plt.imshow(adj, cmap="inferno", interpolation="nearest",
+                    vmin=0, vmax=1.0)
+    plt.colorbar(im, fraction=0.046, pad=0.04)
+    plt.title("Learned graph")
+    plt.axis("off")
+    png = os.path.join(out_dir, f"learned_graph{epoch}.png")
+    fig.savefig(png, bbox_inches="tight")
+    plt.close(fig)
+    return png

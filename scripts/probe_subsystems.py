@@ -1,0 +1,191 @@
+"""Honest subsystem throughput probes (single chip).
+
+Re-measures the subsystem numbers in BASELINE.md with forced host
+materialization per timed call (`float(jax.device_get(...))`): on the axon
+tunnel `jax.block_until_ready` returns before remote execution finishes, so
+block-based timings measure enqueue rate, not the chip (see bench.py).
+
+    python -u scripts/probe_subsystems.py [sampling perstep flash vit gamma]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    import jax
+
+    return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def _timed(fn, n_calls=4):
+    """Best sustained seconds/call after a discarded warm call."""
+    fn()  # warm (compile already done by caller)
+    times = []
+    for _ in range(n_calls):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def probe_sampling(batch_size=64):
+    """Generator forward (full fusion conditioning), profiles/sec."""
+    import jax
+
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    cfg = variant_config("film_cross_attention", n_genes=18868)
+    eng = WGANGPEngine(cfg, steps_per_epoch=100)
+    rng = np.random.RandomState(0)
+    batch = {
+        "genes": rng.randn(batch_size, 18868).astype(np.float32),
+        "tokens": rng.randn(batch_size, 300, 768).astype(np.float32),
+        "token_mask": np.ones((batch_size, 300), dtype=bool),
+        "patches": rng.randn(batch_size, 256, 1024).astype(np.float32),
+        "patch_mask": np.ones((batch_size, 256), dtype=bool),
+    }
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    state = eng.init_state(0, batch)
+    key = jax.random.key(0)
+
+    def call():
+        out = eng.generate_samples(state, key, batch)
+        _sync(out[0, :1])
+
+    call()  # compile
+    sec = _timed(call)
+    return {"metric": "sampled_profiles_per_sec", "batch": batch_size,
+            "value": round(batch_size / sec, 1)}
+
+
+def probe_perstep(n_steps=10, reuse=True):
+    """Per-step dispatch path (no scan), canonical config, steps/sec."""
+    import dataclasses
+
+    import jax
+
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    cfg = variant_config("film_cross_attention", n_genes=18868)
+    if reuse:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, cond_embed_reuse="per_update"))
+    eng = WGANGPEngine(cfg, steps_per_epoch=100)
+    rng = np.random.RandomState(0)
+    batch = {
+        "genes": rng.randn(8, 18868).astype(np.float32),
+        "tokens": rng.randn(8, 300, 768).astype(np.float32),
+        "token_mask": np.ones((8, 300), dtype=bool),
+        "patches": rng.randn(8, 256, 1024).astype(np.float32),
+        "patch_mask": np.ones((8, 256), dtype=bool),
+    }
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    state = eng.init_state(0, batch)
+    state, m = eng.step(state, batch)  # compile
+    _sync(m["d_loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = eng.step(state, batch)
+        _sync(m["d_loss"])
+    sec = (time.perf_counter() - t0) / n_steps
+    return {"metric": "wgan_gp_per_step_dispatch_steps_per_sec",
+            "reuse": reuse, "value": round(1.0 / sec, 2)}
+
+
+def probe_flash(L=4096, B=8, H=4, D=64):
+    """Pallas flash kernel vs XLA-compiled jnp reference, fwd+bwd, ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.kernels import flash_attention as fa
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, L, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, L, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, L, D).astype(np.float32))
+    mask = jnp.asarray(np.ones((B, L), dtype=bool))
+
+    out = {}
+    for name, f in (("flash", fa.flash_mha), ("xla_ref", fa.mha_reference)):
+        loss = jax.jit(jax.value_and_grad(
+            lambda q, k, v, f=f: jnp.sum(f(q, k, v, mask) ** 2),
+            argnums=(0, 1, 2)))
+
+        def call():
+            val, grads = loss(q, k, v)
+            _sync(val)
+
+        try:
+            call()  # compile
+            out[name + "_ms"] = round(_timed(call) * 1e3, 2)
+        except Exception as e:
+            out[name + "_error"] = repr(e)[:120]
+    if "flash_ms" in out and "xla_ref_ms" in out:
+        out["speedup"] = round(out["xla_ref_ms"] / out["flash_ms"], 2)
+    return {"metric": "flash_vs_xla_fwd_bwd", "L": L, **out}
+
+
+def probe_vit(batch_size=64, n_calls=4):
+    """UNI ViT-L/16 jitted batch inference, imgs/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.encoders.vit import FlaxViT
+
+    model = FlaxViT()  # UNI ViT-L/16 layout
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(batch_size, 224, 224, 3).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, imgs[:1])
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+
+    def call():
+        _sync(fwd(params, imgs)[0, :1])
+
+    call()
+    sec = _timed(call, n_calls)
+    return {"metric": "vit_l16_imgs_per_sec", "batch": batch_size,
+            "value": round(batch_size / sec, 1)}
+
+
+def probe_gamma(n=512, genes=18868):
+    """Γ score device path, seconds for (n x genes) real/fake pair."""
+    from gemm_gan_tpu.eval.gamma import gamma_coef
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(n, genes).astype(np.float32)
+    b = rng.randn(n, genes).astype(np.float32)
+    float(gamma_coef(a, b))  # compile + warm
+    t0 = time.perf_counter()
+    val = float(gamma_coef(a, b))
+    sec = time.perf_counter() - t0
+    return {"metric": "gamma_full_genes_seconds", "n": n, "genes": genes,
+            "seconds": round(sec, 3), "value_sample": round(val, 4)}
+
+
+PROBES = {"sampling": probe_sampling, "perstep": probe_perstep,
+          "flash": probe_flash, "vit": probe_vit, "gamma": probe_gamma}
+
+
+def main():
+    names = [a for a in sys.argv[1:] if a in PROBES] or list(PROBES)
+    for name in names:
+        try:
+            print(json.dumps(PROBES[name]()), flush=True)
+        except Exception as e:
+            print(json.dumps({"metric": name, "error": repr(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

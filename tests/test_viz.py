@@ -55,3 +55,15 @@ def test_distance_matrix_and_matrices(rf, tmp_path):
     real, fake = rf
     assert _saved(viz.plot_distance_matrix(real, fake, str(tmp_path / "d.png")))
     assert _saved(viz.plot_distance_matrices(real, fake, str(tmp_path / "m.png")))
+
+
+def test_plot_learned_graph(rng, tmp_path):
+    from gemm_gan_tpu.viz import plot_learned_graph
+
+    adj = rng.rand(12, 12).astype(np.float32)
+    png = plot_learned_graph(adj, str(tmp_path), epoch=7)
+    assert (tmp_path / "learned_graph7.npy").exists()
+    assert (tmp_path / "learned_graph7.png").exists()
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "learned_graph7.npy"), adj)
+    assert png.endswith("learned_graph7.png")
