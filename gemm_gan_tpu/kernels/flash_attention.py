@@ -337,11 +337,16 @@ def _flash_core_bwd(scale, block_q, block_k, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 128,
-              block_k: int = 128):
+def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 512,
+              block_k: int = 256):
     """Pallas blockwise masked attention (differentiable, custom VJP).
 
-    Shapes as `mha_reference`.
+    Shapes as `mha_reference`. Default blocks (512, 256) from a measured
+    v5e sweep (fwd+bwd, f32, D=64): vs the (128, 128) naive default they
+    are 1.8x at L=4096 and 2.4x at L=8192, and 1.4x FASTER than XLA's
+    materialized-attention reference at L=4096 (which stops compiling at
+    L=8192) — BASELINE.md. Blocks are clamped to the (padded) sequence
+    lengths for short inputs.
     """
     if pltpu is None and not _INTERPRET:
         raise RuntimeError("Pallas TPU backend unavailable")
