@@ -117,6 +117,12 @@ class TrainConfig:
     #   fusion.dropout == 0; with dropout > 0 it shares one dropout draw
     #   across the scores inside an update (tests/test_engine.py).
     cond_embed_reuse: str = "per_call"  # per_call | per_update
+    # EMA of generator params for sampling (beyond reference, off by
+    # default). Standard GAN practice (e.g. Karras et al.): sampling from
+    # the averaged generator reduces step-to-step oscillation. When > 0,
+    # the fused step tracks g_ema and `generate_samples(..., use_ema=True)`
+    # (the engine default when available) decodes with it.
+    ema_decay: float = 0.0
     freq_compute_test: int = 50
     freq_print: int = 10
     n_runs_test: int = 2

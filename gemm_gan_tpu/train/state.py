@@ -16,9 +16,13 @@ class GANTrainState(struct.PyTreeNode):
     g_opt_state: Any
     d_opt_state: Any
     key: jax.Array  # run-level base key; per-step keys fold in `step`
+    # EMA of the generator params (beyond reference, `train.ema_decay` > 0);
+    # None when disabled so checkpoints/pytrees are unchanged by default
+    g_ema: Any = None
 
     @classmethod
-    def create(cls, g_params, d_params, g_opt_state, d_opt_state, key):
+    def create(cls, g_params, d_params, g_opt_state, d_opt_state, key,
+               g_ema=None):
         return cls(
             step=jnp.zeros((), dtype=jnp.int32),
             g_params=g_params,
@@ -26,6 +30,7 @@ class GANTrainState(struct.PyTreeNode):
             g_opt_state=g_opt_state,
             d_opt_state=d_opt_state,
             key=key,
+            g_ema=g_ema,
         )
 
 

@@ -69,9 +69,11 @@ class WGANGPEngine:
         g_params = self.gen.init({"params": kg}, z, cond, deterministic=True)["params"]
         d_params = self.disc.init({"params": kd}, jnp.asarray(sample_batch["genes"]),
                                   cond, deterministic=True)["params"]
+        g_ema = (jax.tree.map(jnp.copy, g_params)
+                 if cfg.train.ema_decay > 0 else None)
         state = GANTrainState.create(
             g_params, d_params, self.g_tx.init(g_params), self.d_tx.init(d_params),
-            krun)
+            krun, g_ema=g_ema)
         if self.mesh is not None:
             gs = param_shardings(self.mesh, state.g_params, cfg.model.n_genes)
             ds = param_shardings(self.mesh, state.d_params, cfg.model.n_genes)
@@ -83,6 +85,8 @@ class WGANGPEngine:
                 d_opt_state=jax.device_put(state.d_opt_state, rep),
                 step=jax.device_put(state.step, rep),
                 key=jax.device_put(state.key, rep),
+                g_ema=(None if state.g_ema is None else
+                       jax.tree.map(jax.device_put, state.g_ema, gs)),
             )
         return state
 
@@ -222,6 +226,11 @@ class WGANGPEngine:
             for i in range(t.n_critic):
                 state, d_aux = critic_update(state, real, cond, keys[i], g_cvec)
             state, gl = gen_update(state, real, cond, keys[t.n_critic])
+            if state.g_ema is not None:
+                d = t.ema_decay
+                state = state.replace(g_ema=jax.tree.map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state.g_ema, state.g_params))
             d_total, gp, d_real, d_fake = d_aux
             metrics = {"d_loss": d_total, "g_loss": gl, "gp": gp,
                        "d_real": d_real, "d_fake": d_fake}
@@ -275,13 +284,23 @@ class WGANGPEngine:
 
         return sample
 
-    def generate_samples(self, state: GANTrainState, key, batch: Dict[str, Any]):
-        """Generate one batch of fake expressions for the given conditioning."""
+    def generate_samples(self, state: GANTrainState, key, batch: Dict[str, Any],
+                         use_ema: Optional[bool] = None):
+        """Generate one batch of fake expressions for the given conditioning.
+
+        `use_ema`: decode with the EMA generator params (`train.ema_decay`>0).
+        Default (None) uses EMA whenever the state tracks it.
+        """
         if self._sample is None:
             self._sample = self._build_sample()
         cond = cond_of(batch)
         n = batch["genes"].shape[0]
-        return self._sample(state.g_params, key, cond, n=n)
+        use_ema = (state.g_ema is not None) if use_ema is None else use_ema
+        if use_ema and state.g_ema is None:
+            raise ValueError("use_ema=True but the state has no EMA params "
+                             "(set train.ema_decay > 0 before init_state)")
+        params = state.g_ema if use_ema else state.g_params
+        return self._sample(params, key, cond, n=n)
 
     def generate_samples_all(self, state, key, batches: Iterable[Dict[str, Any]],
                              num_repeats: int = 1):

@@ -255,3 +255,39 @@ def test_cond_embed_reuse_rejects_unknown_mode(tiny_data, make_tiny_cfg):
     state = eng.init_state(0, batch)
     with pytest.raises(ValueError, match="cond_embed_reuse"):
         eng.step(state, batch)
+
+
+def test_ema_generator_tracks_params(tiny_data, make_tiny_cfg):
+    """train.ema_decay > 0: the state tracks an EMA of the generator params
+    (one closed-form step check), and sampling defaults to the EMA decode."""
+    cfg = make_tiny_cfg("vanilla", train_kw=dict(ema_decay=0.9))
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    batch = {"genes": tiny_data["genes"][:8]}
+    state = eng.init_state(0, batch)
+    assert state.g_ema is not None
+    g0 = jax.tree.map(np.asarray, jax.device_get(state.g_params))
+    jax.tree.map(np.testing.assert_array_equal, g0,
+                 jax.tree.map(np.asarray, jax.device_get(state.g_ema)))
+
+    state, _ = eng.step(state, batch)
+    g1 = jax.tree.map(np.asarray, jax.device_get(state.g_params))
+    want = jax.tree.map(lambda a, b: 0.9 * a + 0.1 * b, g0, g1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        jax.tree.map(np.asarray, jax.device_get(state.g_ema)), want)
+
+    # default sampling decodes with the EMA params; explicit False with raw
+    fake_ema = np.asarray(eng.generate_samples(state, jax.random.key(0), batch))
+    fake_raw = np.asarray(eng.generate_samples(state, jax.random.key(0), batch,
+                                               use_ema=False))
+    assert not np.allclose(fake_ema, fake_raw)
+
+
+def test_ema_off_by_default(tiny_data, make_tiny_cfg):
+    cfg = make_tiny_cfg("vanilla")
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    batch = {"genes": tiny_data["genes"][:8]}
+    state = eng.init_state(0, batch)
+    assert state.g_ema is None
+    with pytest.raises(ValueError, match="use_ema"):
+        eng.generate_samples(state, jax.random.key(0), batch, use_ema=True)
