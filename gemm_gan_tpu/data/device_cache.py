@@ -40,13 +40,34 @@ class DeviceCache:
     def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
                  num_patches: Optional[int] = None, seed: int = 42,
                  shuffle: bool = True, drop_remainder: bool = True,
-                 sharding=None):
+                 sharding=None, embedding_store_dtype=None):
+        """`embedding_store_dtype` (e.g. `jnp.bfloat16`): store the large
+        float embedding banks (patches/tokens/text_emb) in a narrower dtype
+        and cast gathered batches back to f32. Halves the HBM residency of
+        the dominant arrays — at real TCGA scale (~10k cases × 256 × 1024
+        UNI patches ≈ 10.5 GB f32) the f32 bank alone crowds a 16 GB chip.
+        Gene expression, masks, and labels are always stored exactly; the
+        cast is an opt-in, documented precision trade on the conditioning
+        embeddings only (they were computed by encoders whose activations
+        are themselves bf16-tolerant)."""
         n = len(next(iter(data.values())))
         for k, v in data.items():
             assert len(v) == n, f"length mismatch for {k}"
         put = (lambda v: jax.device_put(v, sharding)) if sharding is not None \
             else jax.device_put
-        self.arrays = {k: put(np.asarray(v)) for k, v in data.items()}
+        self._narrowed = set()
+        if embedding_store_dtype is not None:
+            for k in ("patches", "tokens", "text_emb"):
+                if k in data:
+                    self._narrowed.add(k)
+
+        def prep(k, v):
+            v = np.asarray(v)
+            if k in self._narrowed:
+                v = v.astype(embedding_store_dtype)  # ml_dtypes handles bf16
+            return put(v)
+
+        self.arrays = {k: prep(k, v) for k, v in data.items()}
         self.n = n
         self.batch_size = batch_size
         self.num_patches = num_patches
@@ -64,8 +85,15 @@ class DeviceCache:
         # program as constants, which bloats the executable by the full cache
         # size (and overflows remote-compile request limits on tunneled TPU
         # backends). As an argument it stays a device buffer reference.
+        narrowed = frozenset(self._narrowed)
+
         def assemble(arrays, idx, key):
             batch = {k: jnp.take(a, idx, axis=0) for k, a in arrays.items()}
+            # gathered batches always leave the cache in f32: the narrow
+            # store dtype is an HBM-residency optimization, not a compute
+            # precision choice (bf16 compute destabilizes the WGAN critic)
+            for k in narrowed:
+                batch[k] = batch[k].astype(jnp.float32)
             if resample:
                 batch["patches"], batch["patch_mask"] = _subsample_patches(
                     batch["patches"], batch["patch_mask"], key,

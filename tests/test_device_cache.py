@@ -67,3 +67,33 @@ def test_engine_accepts_device_cache_batches(tiny_data, make_tiny_cfg):
     state = eng.init_state(0, batch)
     state, m = eng.step(state, batch)
     assert np.isfinite(float(m["d_loss"]))
+
+
+def test_embedding_store_dtype_bf16(tiny_mm_data=None):
+    """bf16 bank storage: embeddings stored narrow, batches emerge f32
+    within bf16 quantization error; genes/masks/labels stored exactly."""
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.data.device_cache import DeviceCache
+    from gemm_gan_tpu.data.synthetic import synthetic_dataset
+
+    data = synthetic_dataset(n=24, n_genes=12, num_patches=8, patch_dim=16,
+                             num_tokens=6, text_dim=12, seed=3)
+    cache = DeviceCache(data, batch_size=8, seed=0, shuffle=False,
+                        embedding_store_dtype=jnp.bfloat16)
+    assert cache.arrays["patches"].dtype == jnp.bfloat16
+    assert cache.arrays["tokens"].dtype == jnp.bfloat16
+    assert cache.arrays["genes"].dtype == jnp.float32
+    batch = next(iter(cache.epoch(0)))
+    assert batch["patches"].dtype == jnp.float32
+    assert batch["tokens"].dtype == jnp.float32
+    # identity epoch order (shuffle=False): compare against the source
+    np.testing.assert_array_equal(np.asarray(batch["genes"]),
+                                  data["genes"][:8])
+    np.testing.assert_allclose(np.asarray(batch["patches"]),
+                               data["patches"][:8], atol=0.02, rtol=0.01)
+    # stacked path too
+    stacked = cache.stacked_epoch(0)
+    assert stacked["patches"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(stacked["genes"][0]),
+                                  data["genes"][:8])
