@@ -169,7 +169,8 @@ def jax_steps_per_sec(scan_len: int = 100, n_calls: int = 4,
         state, m = eng.step_many(state, stacked)
         float(jax.device_get(m["d_loss"]))         # forces remote completion
         times.append(time.perf_counter() - t0)
-    return scan_len / min(times[1:])               # steady state
+    best = min(times[1:]) if len(times) > 1 else times[0]
+    return scan_len / best                         # steady state
 
 
 def main():
@@ -177,8 +178,8 @@ def main():
     # production configuration: per-update condition-embedding reuse
     # (train.cond_embed_reuse="per_update") — the conditioning is
     # loop-invariant across the fused step, so ~22 fusion evaluations
-    # collapse to ~8. Reference-parity per_call measures ~43.6 steps/s
-    # on the same chip (BASELINE.md).
+    # collapse to ~8. Reference-parity per_call measures ~56.3 steps/s
+    # on the same chip with the same tuned flash blocks (BASELINE.md).
     ours = jax_steps_per_sec(reuse=True)
     print(json.dumps({
         "metric": "wgan_gp_flagship_steps_per_sec",

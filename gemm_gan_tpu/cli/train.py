@@ -38,6 +38,16 @@ def build_parser():
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    # beyond-reference training options (see docs/scaling.md, BASELINE.md)
+    p.add_argument("--cond_embed_reuse", default="per_call",
+                   choices=["per_call", "per_update"],
+                   help="per_update: reuse the loop-invariant condition "
+                        "embedding within each update (~1.8x; exact at "
+                        "fusion dropout 0)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA of generator params for sampling (0 = off)")
+    p.add_argument("--drift_epsilon", type=float, default=0.0,
+                   help="eps-drift critic score anchor for long-horizon runs")
     p.add_argument("--evaluate_only", action="store_true")
     return p
 
@@ -93,7 +103,9 @@ def main(argv=None):
             cfg.train, batch_size=args.batch_size, epochs=args.epochs,
             n_critic=args.n_critic, gp_weight=args.gp_weight,
             optimizer=args.optimizer, lr_gen=args.lr, lr_disc=args.lr,
-            seed=args.seed, freq_compute_test=args.freq_compute_test),
+            seed=args.seed, freq_compute_test=args.freq_compute_test,
+            cond_embed_reuse=args.cond_embed_reuse,
+            ema_decay=args.ema_decay, drift_epsilon=args.drift_epsilon),
     )
 
     if args.variant in ("vae", "cvae"):

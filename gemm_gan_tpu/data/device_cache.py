@@ -89,15 +89,19 @@ class DeviceCache:
 
         def assemble(arrays, idx, key):
             batch = {k: jnp.take(a, idx, axis=0) for k, a in arrays.items()}
-            # gathered batches always leave the cache in f32: the narrow
-            # store dtype is an HBM-residency optimization, not a compute
-            # precision choice (bf16 compute destabilizes the WGAN critic)
-            for k in narrowed:
-                batch[k] = batch[k].astype(jnp.float32)
+            # subsample BEFORE widening: on whole-slide banks the gathered
+            # [B, P_full, D] rows dwarf the [B, num_patches, D] subset, and
+            # casting first would materialize the full-width f32 copy the
+            # narrow store exists to avoid
             if resample:
                 batch["patches"], batch["patch_mask"] = _subsample_patches(
                     batch["patches"], batch["patch_mask"], key,
                     num_patches=num_patches)
+            # batches always leave the cache in f32: the narrow store dtype
+            # is an HBM-residency optimization, not a compute precision
+            # choice (bf16 compute risks WGAN critic stability)
+            for k in narrowed:
+                batch[k] = batch[k].astype(jnp.float32)
             return batch
 
         jit_one = jax.jit(assemble)

@@ -21,11 +21,25 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
 class _Conditioned(nn.Module):
+    """Shared base: a `fusion` submodule (set up by subclasses) exposed
+    through `embed_cond`, so both halves of trunk([x ∥ fusion(cond)]) are
+    independently callable Flax methods."""
+
     cfg: ModelConfig
     mesh: Any = None
 
     def _dtype(self):
         return _DTYPES[self.cfg.compute_dtype]
+
+    def embed_cond(self, cond: Optional[dict], deterministic: bool = True):
+        """Fusion half: conditioning dict -> [B, cond_dim] f32 (or None)."""
+        if self.fusion is None:
+            return None
+        if cond is None:
+            raise ValueError(
+                f"fusion kind {self.cfg.fusion.kind!r} requires conditioning inputs "
+                f"(batch keys like 'text_emb'/'patches'/'tokens'/'disease'), got none")
+        return self.fusion(cond, deterministic=deterministic).astype(jnp.float32)
 
 
 class Generator(_Conditioned):
@@ -53,16 +67,6 @@ class Generator(_Conditioned):
             use_batchnorm=self.cfg.use_batchnorm,
             dtype=self._dtype(),
         )
-
-    def embed_cond(self, cond: Optional[dict], deterministic: bool = True):
-        """Fusion half: conditioning dict -> [B, cond_dim] f32 (or None)."""
-        if self.fusion is None:
-            return None
-        if cond is None:
-            raise ValueError(
-                f"fusion kind {self.cfg.fusion.kind!r} requires conditioning inputs "
-                f"(batch keys like 'text_emb'/'patches'/'tokens'/'disease'), got none")
-        return self.fusion(cond, deterministic=deterministic).astype(jnp.float32)
 
     def score(self, z, cvec=None, train: bool = False):
         """Trunk half: latent [B, latent] (+ fixed cond vector) -> [B, n_genes]."""
@@ -105,16 +109,6 @@ class Critic(_Conditioned):
             use_batchnorm=self.cfg.use_batchnorm,
             dtype=self._dtype(),
         )
-
-    def embed_cond(self, cond: Optional[dict], deterministic: bool = True):
-        """Fusion half: conditioning dict -> [B, cond_dim] f32 (or None)."""
-        if self.fusion is None:
-            return None
-        if cond is None:
-            raise ValueError(
-                f"fusion kind {self.cfg.fusion.kind!r} requires conditioning inputs "
-                f"(batch keys like 'text_emb'/'patches'/'tokens'/'disease'), got none")
-        return self.fusion(cond, deterministic=deterministic).astype(jnp.float32)
 
     def score(self, x, cvec=None, train: bool = False):
         """Trunk half: expression [B, n_genes] (+ fixed cond vector) -> [B, 1]."""

@@ -69,7 +69,7 @@ def test_engine_accepts_device_cache_batches(tiny_data, make_tiny_cfg):
     assert np.isfinite(float(m["d_loss"]))
 
 
-def test_embedding_store_dtype_bf16(tiny_mm_data=None):
+def test_embedding_store_dtype_bf16():
     """bf16 bank storage: embeddings stored narrow, batches emerge f32
     within bf16 quantization error; genes/masks/labels stored exactly."""
     import jax.numpy as jnp
