@@ -56,6 +56,10 @@ class FusionConfig:
     film_beta_clamp: float = 5.0
     # use the Pallas fused masked-attention kernel on TPU
     use_pallas: bool = True
+    # bf16 MXU operands (f32 accumulate) inside the flash kernels — the
+    # standard production flash precision (softmax stats stay f32). Opt-in:
+    # WGAN critics are variance-sensitive; measured effect in BASELINE.md
+    flash_mxu_bf16: bool = False
     # remat each patch-transformer layer (activation memory ∝ one layer):
     # enable for whole-slide patch counts (>=16k) on a single chip
     remat_layers: bool = False

@@ -65,6 +65,7 @@ class _PatchTransformer(nn.Module):
         x = TransformerEncoder(
             num_layers=c.num_layers, embed_dim=c.cond_dim, num_heads=c.num_heads,
             ff_dim=c.ff_dim, dropout=c.dropout, use_pallas=c.use_pallas,
+            mxu_bf16=c.flash_mxu_bf16,
             mesh=self.mesh if c.sequence_parallel else None,
             dtype=self.dtype, remat=c.remat_layers, name="patches_transformer",
         )(x, mask, deterministic=deterministic)
@@ -102,7 +103,8 @@ class PooledAttentionFusion(nn.Module):
         text = nn.Dense(c.cond_dim, dtype=self.dtype, name="text_encoder")(cond["text_emb"])
         patches = nn.Dense(c.cond_dim, dtype=self.dtype, name="patches_encoder")(cond["patches"])
         attn = MaskedMultiHeadAttention(
-            c.cond_dim, c.num_heads, use_pallas=c.use_pallas, dtype=self.dtype,
+            c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
+            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
             name="attention",
         )(text[:, None, :], patches, cond["patch_mask"], deterministic=deterministic)
         return nn.LayerNorm(dtype=jnp.float32, name="attn_norm")(attn[:, 0])
@@ -158,11 +160,13 @@ class CrossAttentionFusion(nn.Module):
         patch_seq, patch_mask = _PatchTransformer(c, mesh=self.mesh, dtype=self.dtype)(
             cond["patches"], cond["patch_mask"], deterministic)
         p2t = MaskedMultiHeadAttention(
-            c.cond_dim, c.num_heads, use_pallas=c.use_pallas, dtype=self.dtype,
+            c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
+            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
             name="patch2text_attention",
         )(text, patch_seq, patch_mask, deterministic=deterministic)
         t2p = MaskedMultiHeadAttention(
-            c.cond_dim, c.num_heads, use_pallas=c.use_pallas, dtype=self.dtype,
+            c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
+            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
             name="text2patch_attention",
         )(p2t, text, cond["token_mask"], deterministic=deterministic)
         return t2p[:, 0] + p2t[:, 0]
@@ -187,11 +191,13 @@ class FiLMCrossAttentionFusion(nn.Module):
         patch_seq, patch_mask = _PatchTransformer(c, mesh=self.mesh, dtype=self.dtype)(
             patches, cond["patch_mask"], deterministic)
         p2t = MaskedMultiHeadAttention(
-            c.cond_dim, c.num_heads, use_pallas=c.use_pallas, dtype=self.dtype,
+            c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
+            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
             name="patch2text_attention",
         )(text[:, 0:1, :], patch_seq, patch_mask, deterministic=deterministic)
         t2p = MaskedMultiHeadAttention(
-            c.cond_dim, c.num_heads, use_pallas=c.use_pallas, dtype=self.dtype,
+            c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
+            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
             name="text2patch_attention",
         )(p2t[:, 0:1, :], text, cond["token_mask"], deterministic=deterministic)
         return t2p[:, 0] + p2t[:, 0]

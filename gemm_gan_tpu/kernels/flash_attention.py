@@ -73,8 +73,16 @@ def mha_reference(q, k, v, kv_mask=None, scale=None):
 
 
 # ------------------------------------------------------------------- forward
+def _mxu_in(x, mxu_bf16):
+    """MXU operand dtype: bf16 operands with f32 accumulate when enabled
+    (the standard production flash-attention precision — softmax statistics
+    and accumulators stay f32 regardless), else full f32."""
+    return x.astype(jnp.bfloat16 if mxu_bf16 else jnp.float32)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                m_scratch, l_scratch, acc_scratch, *, scale, num_k_blocks):
+                m_scratch, l_scratch, acc_scratch, *, scale, num_k_blocks,
+                mxu_bf16):
     """One (batch*head, q_block, k_block) grid step of flash attention.
 
     Grid iterates k blocks innermost; running max/denominator live in scratch
@@ -88,9 +96,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0].astype(jnp.float32)          # [bq, D]
-    k = k_ref[0].astype(jnp.float32)          # [bk, D]
-    v = v_ref[0].astype(jnp.float32)          # [bk, D]
+    q = _mxu_in(q_ref[0], mxu_bf16)           # [bq, D]
+    k = _mxu_in(k_ref[0], mxu_bf16)           # [bk, D]
+    v = _mxu_in(v_ref[0], mxu_bf16)           # [bk, D]
     mask = mask_ref[0]                        # [1, bk] bool
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -105,7 +113,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot(
-        p, v, preferred_element_type=jnp.float32)
+        _mxu_in(p, mxu_bf16), v, preferred_element_type=jnp.float32)
     m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
     l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
 
@@ -119,7 +127,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
 # ------------------------------------------------------------------ backward
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, acc_scratch, *, scale, num_k_blocks):
+                   dq_ref, acc_scratch, *, scale, num_k_blocks, mxu_bf16):
     """dQ pass: grid (BH, n_q, n_k), k innermost, accumulate dQ in scratch."""
     ik = pl.program_id(2)
 
@@ -127,11 +135,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     def _init():
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = _mxu_in(q_ref[0], mxu_bf16)
+    k = _mxu_in(k_ref[0], mxu_bf16)
+    v = _mxu_in(v_ref[0], mxu_bf16)
     mask = mask_ref[0]                                # [1, bk]
-    do = do_ref[0].astype(jnp.float32)                # [bq, D]
+    do = _mxu_in(do_ref[0], mxu_bf16)                 # [bq, D]
     lse = lse_ref[0][:, :1]                           # [bq, 1]
     delta = delta_ref[0][:, :1]                       # [bq, 1]
 
@@ -143,7 +151,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [bq, bk]
     ds = p * (dp - delta) * scale
-    acc_scratch[:] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+    acc_scratch[:] += jax.lax.dot(_mxu_in(ds, mxu_bf16), k,
+                                  preferred_element_type=jnp.float32)
 
     @pl.when(ik == num_k_blocks - 1)
     def _finish():
@@ -151,7 +160,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_scratch, dv_scratch, *, scale, num_q_blocks):
+                    dk_ref, dv_ref, dk_scratch, dv_scratch, *, scale,
+                    num_q_blocks, mxu_bf16):
     """dK/dV pass: grid (BH, n_k, n_q), q innermost, accumulate in scratch."""
     iq = pl.program_id(2)
 
@@ -160,11 +170,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         dk_scratch[:] = jnp.zeros_like(dk_scratch)
         dv_scratch[:] = jnp.zeros_like(dv_scratch)
 
-    q = q_ref[0].astype(jnp.float32)                  # [bq, D]
-    k = k_ref[0].astype(jnp.float32)                  # [bk, D]
-    v = v_ref[0].astype(jnp.float32)                  # [bk, D]
+    q = _mxu_in(q_ref[0], mxu_bf16)                   # [bq, D]
+    k = _mxu_in(k_ref[0], mxu_bf16)                   # [bk, D]
+    v = _mxu_in(v_ref[0], mxu_bf16)                   # [bk, D]
     mask = mask_ref[0]                                # [1, bk]
-    do = do_ref[0].astype(jnp.float32)                # [bq, D]
+    do = _mxu_in(do_ref[0], mxu_bf16)                 # [bq, D]
     lse = lse_ref[0][:, :1]
     delta = delta_ref[0][:, :1]
 
@@ -173,12 +183,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     s = jnp.where(mask, s, _NEG_INF)
     p = jnp.exp(s - lse)
     p = jnp.where(mask, p, 0.0)                       # [bq, bk]
-    dv_scratch[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    dv_scratch[:] += jax.lax.dot_general(_mxu_in(p, mxu_bf16), do,
+                                         (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta) * scale                     # [bq, bk]
-    dk_scratch[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+    dk_scratch[:] += jax.lax.dot_general(_mxu_in(ds, mxu_bf16), q,
+                                         (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
 
     @pl.when(iq == num_q_blocks - 1)
@@ -213,7 +225,7 @@ def _prep(q, k, v, kv_mask, block_q, block_k):
     return qp, kp, vp, maskp, bq, bk, Lq_p, Lk_p
 
 
-def _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H):
+def _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H, mxu_bf16=False):
     BH, Lq_p, D = qp.shape
     Lk_p = kp.shape[1]
     n_q, n_k = Lq_p // bq, Lk_p // bk
@@ -225,7 +237,8 @@ def _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H):
         pltpu.VMEM((bq, D), jnp.float32),
     ])
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, num_k_blocks=n_k),
+        functools.partial(_fwd_kernel, scale=scale, num_k_blocks=n_k,
+                          mxu_bf16=mxu_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
@@ -252,21 +265,22 @@ def _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H):
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_core(q, k, v, kv_mask, scale, block_q, block_k):
-    out, _ = _flash_core_fwd(q, k, v, kv_mask, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core(q, k, v, kv_mask, scale, block_q, block_k, mxu_bf16):
+    out, _ = _flash_core_fwd(q, k, v, kv_mask, scale, block_q, block_k,
+                             mxu_bf16)
     return out
 
 
-def _flash_core_fwd(q, k, v, kv_mask, scale, block_q, block_k):
+def _flash_core_fwd(q, k, v, kv_mask, scale, block_q, block_k, mxu_bf16):
     B, H, Lq, D = q.shape
     qp, kp, vp, maskp, bq, bk, Lq_p, Lk_p = _prep(q, k, v, kv_mask, block_q, block_k)
-    out, lse = _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H)
+    out, lse = _fwd_call(qp, kp, vp, maskp, bq, bk, scale, H, mxu_bf16)
     o = out.reshape(B, H, Lq_p, D)[:, :, :Lq, :]
     return o, (q, k, v, kv_mask, o, lse)
 
 
-def _flash_core_bwd(scale, block_q, block_k, res, do):
+def _flash_core_bwd(scale, block_q, block_k, mxu_bf16, res, do):
     q, k, v, kv_mask, o, lse = res
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
@@ -282,7 +296,8 @@ def _flash_core_bwd(scale, block_q, block_k, res, do):
     kw = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, num_k_blocks=n_k),
+        functools.partial(_bwd_dq_kernel, scale=scale, num_k_blocks=n_k,
+                          mxu_bf16=mxu_bf16),
         grid=(BH, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda bh, iq, ik: (bh, iq, 0), **kw),
@@ -300,7 +315,8 @@ def _flash_core_bwd(scale, block_q, block_k, res, do):
     )(qp, kp, vp, maskp, dop, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, num_q_blocks=n_q),
+        functools.partial(_bwd_dkv_kernel, scale=scale, num_q_blocks=n_q,
+                          mxu_bf16=mxu_bf16),
         grid=(BH, n_k, n_q),
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda bh, ik, iq: (bh, iq, 0), **kw),
@@ -338,7 +354,7 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 512,
-              block_k: int = 256):
+              block_k: int = 256, mxu_bf16: bool = False):
     """Pallas blockwise masked attention (differentiable, custom VJP).
 
     Shapes as `mha_reference`. Default blocks (512, 256) from a measured
@@ -347,6 +363,11 @@ def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 512,
     materialized-attention reference at L=4096 (which stops compiling at
     L=8192) — BASELINE.md. Blocks are clamped to the (padded) sequence
     lengths for short inputs.
+
+    `mxu_bf16=True` feeds the MXU bf16 operands with f32 accumulation in
+    every dot of the forward AND backward kernels (softmax statistics,
+    lse, and accumulators stay f32) — the standard production flash
+    precision; opt-in here because WGAN critics are variance-sensitive.
     """
     if pltpu is None and not _INTERPRET:
         raise RuntimeError("Pallas TPU backend unavailable")
@@ -354,7 +375,8 @@ def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 512,
         scale = q.shape[-1] ** -0.5
     if kv_mask is None:
         kv_mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
-    return _flash_core(q, k, v, kv_mask, float(scale), block_q, block_k)
+    return _flash_core(q, k, v, kv_mask, float(scale), block_q, block_k,
+                       bool(mxu_bf16))
 
 
 def mha_reference_blocked(q, k, v, kv_mask=None, scale=None,
@@ -418,13 +440,14 @@ def disable_pallas():
         _TRACE_FLAGS.disabled = prev
 
 
-def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True):
+def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True,
+               mxu_bf16: bool = False):
     """Dispatch: Pallas kernel on TPU for non-tiny query lengths, else jnp."""
     on_tpu = jax.default_backend() == "tpu"
     if (use_pallas and not _pallas_disabled() and q.shape[2] >= MIN_PALLAS_LQ
             and (_INTERPRET or (on_tpu and pltpu is not None))):
         try:
-            return flash_mha(q, k, v, kv_mask, scale=scale)
+            return flash_mha(q, k, v, kv_mask, scale=scale, mxu_bf16=mxu_bf16)
         except Exception:
             pass
     if q.shape[2] >= BLOCKED_REF_MIN_LK or k.shape[2] >= BLOCKED_REF_MIN_LK:

@@ -36,6 +36,7 @@ class MaskedMultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    mxu_bf16: bool = False    # bf16 MXU operands inside the flash kernels
     mesh: Any = None          # enables ring (sequence-parallel) self-attention
     dtype: Optional[jnp.dtype] = None
 
@@ -70,7 +71,8 @@ class MaskedMultiHeadAttention(nn.Module):
             # which suffices everywhere: the GP inner grad never reaches
             # attention (the engine embeds the condition outside it)
             out = masked_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
-                             use_pallas=self.use_pallas)
+                             use_pallas=self.use_pallas,
+                             mxu_bf16=self.mxu_bf16)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
         out = nn.Dense(E, dtype=self.dtype, name="out_proj")(out)
         if self.dropout > 0:
@@ -84,6 +86,7 @@ class TransformerEncoderLayer(nn.Module):
     ff_dim: int
     dropout: float = 0.1
     use_pallas: bool = False
+    mxu_bf16: bool = False
     mesh: Any = None
     dtype: Optional[jnp.dtype] = None
 
@@ -91,7 +94,8 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, x, mask=None, deterministic: bool = True):
         attn = MaskedMultiHeadAttention(
             self.embed_dim, self.num_heads, dropout=self.dropout,
-            use_pallas=self.use_pallas, mesh=self.mesh, dtype=self.dtype,
+            use_pallas=self.use_pallas, mxu_bf16=self.mxu_bf16,
+            mesh=self.mesh, dtype=self.dtype,
         )(x, x, mask, deterministic=deterministic)
         x = nn.LayerNorm(dtype=jnp.float32)(x + attn)
         h = nn.Dense(self.ff_dim, dtype=self.dtype)(x)
@@ -111,6 +115,7 @@ class TransformerEncoder(nn.Module):
     ff_dim: int
     dropout: float = 0.1
     use_pallas: bool = False
+    mxu_bf16: bool = False
     mesh: Any = None
     dtype: Optional[jnp.dtype] = None
     # rematerialize each layer in backward: trades recompute for activation
@@ -131,7 +136,8 @@ class TransformerEncoder(nn.Module):
             # change param paths (init RNG folding, checkpoint layout)
             x = layer_cls(
                 self.embed_dim, self.num_heads, self.ff_dim, self.dropout,
-                use_pallas=self.use_pallas, mesh=self.mesh, dtype=self.dtype,
+                use_pallas=self.use_pallas, mxu_bf16=self.mxu_bf16,
+                mesh=self.mesh, dtype=self.dtype,
                 name=f"TransformerEncoderLayer_{i}",
             )(x, mask, deterministic)
         return x

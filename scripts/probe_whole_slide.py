@@ -32,7 +32,8 @@ TEXT_DIM = 768
 
 
 def probe(n_patches: int, scan_len: int = 4, n_calls: int = 4,
-          remat_layers: bool = False, reuse: bool = False) -> float:
+          remat_layers: bool = False, reuse: bool = False,
+          mxu_bf16: bool = False) -> float:
     import jax
 
     from gemm_gan_tpu.config import variant_config
@@ -40,7 +41,7 @@ def probe(n_patches: int, scan_len: int = 4, n_calls: int = 4,
 
     cfg = variant_config(
         "film_cross_attention", n_genes=N_GENES,
-        fusion_kw=dict(remat_layers=remat_layers))
+        fusion_kw=dict(remat_layers=remat_layers, flash_mxu_bf16=mxu_bf16))
     if reuse:
         import dataclasses
         cfg = dataclasses.replace(
@@ -77,18 +78,19 @@ def main():
     args = sys.argv[1:]
     reuse = "reuse" in args           # cond_embed_reuse="per_update"
     remat = "remat" in args           # fusion.remat_layers=True
+    bf16 = "bf16mxu" in args          # fusion.flash_mxu_bf16=True
     sizes = [int(a) for a in args if a.isdigit()] or [4096, 8192, 16384]
     for p in sizes:
         try:
-            sps = probe(p, remat_layers=remat, reuse=reuse)
+            sps = probe(p, remat_layers=remat, reuse=reuse, mxu_bf16=bf16)
             print(json.dumps({"metric": "wgan_gp_steps_per_sec",
                               "n_patches": p, "reuse": reuse, "remat": remat,
-                              "value": round(sps, 2)}),
+                              "mxu_bf16": bf16, "value": round(sps, 2)}),
                   flush=True)
         except Exception as e:  # OOM at the single-chip ceiling is expected
             print(json.dumps({"metric": "wgan_gp_steps_per_sec",
                               "n_patches": p, "reuse": reuse, "remat": remat,
-                              "error": repr(e)[:200]}),
+                              "mxu_bf16": bf16, "error": repr(e)[:200]}),
                   flush=True)
 
 

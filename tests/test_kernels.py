@@ -192,3 +192,28 @@ def test_masked_mha_long_sequence_dispatches_blocked(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(fa.mha_reference(q, q, q, None)),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("Lq,Lk", [(130, 260)])
+def test_flash_mxu_bf16_close_to_f32(rng, Lq, Lk, monkeypatch):
+    """mxu_bf16=True quantizes MXU operands to bf16 (f32 softmax/accum):
+    forward and gradients must match the f32 kernel within bf16 input
+    quantization error."""
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    q, k, v, mask = _rand_qkv(rng, Lq=Lq, Lk=Lk)
+    out32 = fa.flash_mha(q, k, v, mask, block_q=64, block_k=128)
+    out16 = fa.flash_mha(q, k, v, mask, block_q=64, block_k=128,
+                         mxu_bf16=True)
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(f16):
+        def f(q, k, v):
+            return jnp.sum(fa.flash_mha(q, k, v, mask, block_q=64,
+                                        block_k=128, mxu_bf16=f16) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g32, g16 = loss(False), loss(True)
+    for a, b, name in zip(g16, g32, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-2, err_msg=f"d{name}")
