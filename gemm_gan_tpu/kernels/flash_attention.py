@@ -101,15 +101,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     v = _mxu_in(v_ref[0], mxu_bf16)           # [bk, D]
     mask = mask_ref[0]                        # [1, bk] bool
 
+    # the kernel is VPU(softmax)-bound, not MXU-bound (BASELINE.md), so
+    # per-logit VPU passes are the scarce resource: the scale multiply is
+    # folded into q by the caller (scale == 1.0 here, statically skipped),
+    # and there is no second where() on p — masked columns give
+    # exp(-1e30 - m_finite) == 0 exactly; only FULLY-masked rows (running
+    # max still -1e30, so s - m == 0, p == 1) need it, and those are zeroed
+    # once per q block in _finish instead of once per logit per k block.
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale  # [bq, bk]
+                            preferred_element_type=jnp.float32)  # [bq, bk]
+    if scale != 1.0:
+        s = s * scale
     s = jnp.where(mask, s, _NEG_INF)
 
     m_prev = m_scratch[:, :1]                 # [bq, 1] (lane-broadcast store)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp(s - m_new)                    # masked cols: exp(-inf - m) = 0
-    p = jnp.where(mask, p, 0.0)
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot(
@@ -119,8 +127,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
     @pl.when(ik == num_k_blocks - 1)
     def _finish():
+        # fully-masked rows: running max never left -1e30; their p was 1
+        # per column, so acc/l would be mean(v) — zero them here instead
+        fully_masked = m_scratch[:, :1] <= _NEG_INF * 0.5
         l = jnp.maximum(l_scratch[:, :1], 1e-30)
-        o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+        o = jnp.where(fully_masked, 0.0, acc_scratch[:] / l)
+        o_ref[0] = o.astype(o_ref.dtype)
         lse_ref[0] = jnp.broadcast_to(m_scratch[:, :1] + jnp.log(l),
                                       lse_ref.shape[1:])
 
@@ -144,13 +156,17 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0][:, :1]                       # [bq, 1]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        s = s * scale
     s = jnp.where(mask, s, _NEG_INF)
     p = jnp.exp(s - lse)                              # [bq, bk]
     p = jnp.where(mask, p, 0.0)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [bq, bk]
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)
+    if scale != 1.0:
+        ds = ds * scale
     acc_scratch[:] += jax.lax.dot(_mxu_in(ds, mxu_bf16), k,
                                   preferred_element_type=jnp.float32)
 
@@ -179,7 +195,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0][:, :1]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        s = s * scale
     s = jnp.where(mask, s, _NEG_INF)
     p = jnp.exp(s - lse)
     p = jnp.where(mask, p, 0.0)                       # [bq, bk]
@@ -188,7 +206,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
                                          preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale                     # [bq, bk]
+    ds = p * (dp - delta)                             # [bq, bk]
+    if scale != 1.0:
+        ds = ds * scale
     dk_scratch[:] += jax.lax.dot_general(_mxu_in(ds, mxu_bf16), q,
                                          (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
@@ -375,7 +395,12 @@ def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 512,
         scale = q.shape[-1] ** -0.5
     if kv_mask is None:
         kv_mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
-    return _flash_core(q, k, v, kv_mask, float(scale), block_q, block_k,
+    # fold the softmax scale into q OUTSIDE the custom-VJP core: the kernels
+    # then run with scale == 1.0 (their per-logit scale multiplies are
+    # statically skipped — the kernel is VPU-bound), and autodiff applies
+    # the scale to dq through this multiply's own chain rule
+    q = q * jnp.asarray(scale, q.dtype)
+    return _flash_core(q, k, v, kv_mask, 1.0, block_q, block_k,
                        bool(mxu_bf16))
 
 
