@@ -119,22 +119,49 @@ class Experiment:
 
     def _validation_eval(self, state, key, epoch):
         """Periodic detection + metric eval on train vs val regeneration
-        (parity: conditional_gan_concat.py:664-689)."""
+        (parity: conditional_gan_concat.py:664-689).
+
+        With `eval.on_device_validation` the pass runs as a device-side
+        proxy: generation keeps the profile matrices on the chip
+        (`device_out=True`) and a kNN detection two-sample test + PRDC are
+        computed from them — only scalars and the [N, k] neighbour indices
+        are fetched, instead of the full train+val matrices (~GBs at TCGA
+        scale through a ~15 MB/s tunnel). The final test block always runs
+        the full host classifier suite."""
+        ev = self.cfg.eval
         k1, k2 = jax.random.split(key)
-        train_out = self.engine.generate_samples_all(
-            state, k1, self.loaders["train"].epoch(epoch))
-        val_out = self.engine.generate_samples_all(
-            state, k2, self.loaders["val"].epoch(epoch))
-        det = detection(train_out["real"], train_out["fake"],
-                        val_out["real"], val_out["fake"])
-        metrics = compute_evaluation_metrics(
-            train_out["real"], train_out["fake"], val_out["real"], val_out["fake"],
-            nn=self.cfg.eval.nearest_k,
-            n_components=min(self.cfg.eval.pca_components,
-                             train_out["real"].shape[0] - 1))
+        scan = ev.scan_sampling
+        if ev.on_device_validation:
+            from gemm_gan_tpu.eval.detection import knn_detection
+            from gemm_gan_tpu.eval.prdc import compute_prdc
+
+            train_out = self.engine.generate_samples_all(
+                state, k1, self.loaders["train"].epoch(epoch), scan=scan,
+                device_out=True)
+            val_out = self.engine.generate_samples_all(
+                state, k2, self.loaders["val"].epoch(epoch), scan=scan,
+                device_out=True)
+            det = knn_detection(train_out["real"], train_out["fake"],
+                                val_out["real"], val_out["fake"])
+            metrics = compute_prdc(train_out["real"], train_out["fake"],
+                                   nearest_k=ev.nearest_k)
+        else:
+            train_out = self.engine.generate_samples_all(
+                state, k1, self.loaders["train"].epoch(epoch), scan=scan)
+            val_out = self.engine.generate_samples_all(
+                state, k2, self.loaders["val"].epoch(epoch), scan=scan)
+            det = detection(train_out["real"], train_out["fake"],
+                            val_out["real"], val_out["fake"])
+            metrics = compute_evaluation_metrics(
+                train_out["real"], train_out["fake"],
+                val_out["real"], val_out["fake"],
+                nn=ev.nearest_k,
+                n_components=min(ev.pca_components,
+                                 train_out["real"].shape[0] - 1))
         rec = {"epoch": epoch, "detection": det, "metrics": metrics}
         self.val_metrics_history.append(rec)
-        self.logger.log(epoch, val_detection_acc=det["LR"]["accuracy"],
+        det_first = next(iter(det.values()))
+        self.logger.log(epoch, val_detection_acc=det_first["accuracy"],
                         val_precision=metrics["precision"],
                         val_recall=metrics["recall"])
         return rec
@@ -146,7 +173,8 @@ class Experiment:
         from gemm_gan_tpu.viz import plot_curves
 
         hist = {
-            "detection_acc": [r["detection"]["LR"]["accuracy"]
+            # "LR" in host mode; "KNN" in on-device-proxy mode
+            "detection_acc": [next(iter(r["detection"].values()))["accuracy"]
                               for r in self.val_metrics_history],
             "precision": [r["metrics"]["precision"] for r in self.val_metrics_history],
             "recall": [r["metrics"]["recall"] for r in self.val_metrics_history],
@@ -169,9 +197,11 @@ class Experiment:
         for run in range(ev.n_runs):
             key, k1, k2 = jax.random.split(key, 3)
             train_out = self.engine.generate_samples_all(
-                state, k1, self.loaders["train"].epoch(run))
+                state, k1, self.loaders["train"].epoch(run),
+                scan=ev.scan_sampling)
             test_out = self.engine.generate_samples_all(
-                state, k2, self.loaders["test"].epoch(run))
+                state, k2, self.loaders["test"].epoch(run),
+                scan=ev.scan_sampling)
 
             run_dir = os.path.join(self.out_dir, f"test_{run}_epoch_{epoch}")
             arrays = {
@@ -264,4 +294,5 @@ class Experiment:
         loader = Batches(balanced, 64, seed=t.seed, shuffle=False,
                          drop_remainder=False)
         return self.engine.generate_samples_all(state, key, loader.epoch(0),
-                                                num_repeats=num_repeats)
+                                                num_repeats=num_repeats,
+                                                scan=ev.scan_sampling)

@@ -19,6 +19,10 @@ def main(argv=None):
     p.add_argument("--out", default="generated.npy")
     p.add_argument("--num_repeats", type=int, default=1)
     p.add_argument("--balanced", action="store_true")
+    p.add_argument("--scan", action="store_true",
+                   help="serving fast path: whole loader in one scanned "
+                        "device program, condition embedding shared across "
+                        "repeats (one extra XLA compile per shape)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -31,16 +35,40 @@ def main(argv=None):
     from gemm_gan_tpu.data.tcga import load_tcga
     from gemm_gan_tpu.train.checkpoint import restore_state
 
-    schema = {"vanilla": "genes", "vae": "genes", "benchmark": "labels",
-              "cvae": "labels", "cross_attention": "multi_token",
-              "film_cross_attention": "multi_token"}.get(args.variant, "multi_patch")
-    splits = load_tcga(args.data_dir, schema=schema, seed=args.seed)
-    meta = splits["meta"]
-    fusion_kw = {}
-    if meta["disease_vocab"]:
-        fusion_kw = dict(n_disease_types=len(meta["disease_vocab"]),
-                         n_primary_sites=len(meta["site_vocab"]))
-    cfg = variant_config(args.variant, n_genes=meta["n_genes"], fusion_kw=fusion_kw)
+    import dataclasses
+
+    from gemm_gan_tpu.config import load_config
+
+    # checkpoint dirs written by cli/train.py are self-describing: the run
+    # dir holds config.json with the resolved model/data shapes — restore
+    # from it so non-default dims (latent, hidden, num_patches, ...) work
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.normpath(args.ckpt_dir)), "config.json")
+    saved_cfg = load_config(cfg_path) if os.path.exists(cfg_path) else None
+
+    if saved_cfg is not None:
+        schema = saved_cfg.data.batch_schema
+        splits = load_tcga(args.data_dir, schema=schema,
+                           num_patches=saved_cfg.data.num_patches,
+                           normalization=saved_cfg.data.normalization,
+                           seed=saved_cfg.train.seed)
+        cfg = saved_cfg
+    else:
+        schema = {"vanilla": "genes", "vae": "genes", "benchmark": "labels",
+                  "cvae": "labels", "cross_attention": "multi_token",
+                  "film_cross_attention": "multi_token"}.get(args.variant,
+                                                             "multi_patch")
+        splits = load_tcga(args.data_dir, schema=schema, seed=args.seed)
+        meta = splits["meta"]
+        fusion_kw = {}
+        if meta["disease_vocab"]:
+            fusion_kw = dict(n_disease_types=len(meta["disease_vocab"]),
+                             n_primary_sites=len(meta["site_vocab"]))
+        cfg = variant_config(args.variant, n_genes=meta["n_genes"],
+                             fusion_kw=fusion_kw)
+    if args.scan:
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, scan_sampling=True))
     exp = Experiment(cfg, splits)
     template = jax.device_get(exp.engine.init_state(
         args.seed, next(iter(exp.loaders["train"].epoch(0)))))
@@ -51,7 +79,8 @@ def main(argv=None):
         out = exp.generate_balanced(state, key, num_repeats=args.num_repeats)
     else:
         out = exp.engine.generate_samples_all(
-            state, key, exp.loaders["train"].epoch(0), num_repeats=args.num_repeats)
+            state, key, exp.loaders["train"].epoch(0),
+            num_repeats=args.num_repeats, scan=args.scan)
     np.save(args.out, out["fake"])
     print(f"wrote {out['fake'].shape} -> {os.path.abspath(args.out)}")
 

@@ -106,6 +106,12 @@ def main(argv=None):
             seed=args.seed, freq_compute_test=args.freq_compute_test,
             cond_embed_reuse=args.cond_embed_reuse,
             ema_decay=args.ema_decay, drift_epsilon=args.drift_epsilon),
+        # record the resolved data settings: the Experiment's DeviceCache
+        # subsamples to cfg.data.num_patches (NOT the load_tcga argument),
+        # and cli/sample.py rebuilds the loaders from the saved config
+        data=dataclasses.replace(
+            cfg.data, data_dir=args.data_dir, num_patches=args.num_patches,
+            normalization=args.normalization, seed=args.seed),
     )
 
     if args.variant in ("vae", "cvae"):
@@ -116,6 +122,12 @@ def main(argv=None):
         from gemm_gan_tpu.cli.experiment import Experiment
 
         exp = Experiment(cfg, splits, mesh=mesh)
+
+    from gemm_gan_tpu.config import save_config
+
+    # write the resolved config up front so the run dir is self-describing
+    # even if training is interrupted (cli/sample.py restores shapes from it)
+    save_config(cfg, os.path.join(exp.out_dir, "config.json"))
 
     if args.evaluate_only:
         results = exp.evaluate()

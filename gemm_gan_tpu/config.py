@@ -161,6 +161,19 @@ class EvalConfig:
     detection_classifiers: Tuple[str, ...] = ("LR", "MLP", "RF")
     balanced_max_oversample: int = 5
     n_runs: int = 2
+    # scan-path generation during eval blocks: whole loader in one device
+    # program, condition embedding shared across repeats (train/wgan.py
+    # generate_samples_all(scan=True)). One extra XLA compile per eval-set
+    # shape; off by default because remote-compile latency on tunneled
+    # backends (minutes) can exceed the sampling time it saves.
+    scan_sampling: bool = False
+    # in-loop validation on device: periodic validation generates with
+    # device_out=True and evaluates a kNN detection proxy + PRDC from
+    # device-resident arrays — only scalars/predictions leave the chip
+    # (vs fetching the full train+val profile matrices every eval epoch,
+    # ~GBs at TCGA scale). The final test block always runs the full host
+    # classifier suite regardless.
+    on_device_validation: bool = False
 
 
 @dataclass(frozen=True)
@@ -244,3 +257,66 @@ def variant_config(variant: str, n_genes: int = 18868, **overrides) -> Experimen
 def replace(cfg, **kw):
     """Convenience dataclasses.replace passthrough."""
     return dataclasses.replace(cfg, **kw)
+
+
+# ------------------------------------------------------------- serialization
+# The reference has no config persistence at all: reproducing or sampling a
+# run means re-typing its argparse flags (SURVEY.md §5 "Config / flag
+# system"). Here the resolved config tree round-trips through JSON so a
+# checkpoint directory is self-describing (cli/train.py writes config.json;
+# cli/sample.py restores model shapes from it).
+
+_NESTED = {
+    "ExperimentConfig": {"model": "ModelConfig", "train": "TrainConfig",
+                         "data": "DataConfig", "eval": "EvalConfig",
+                         "mesh": "MeshConfig"},
+    "ModelConfig": {"fusion": "FusionConfig"},
+}
+_CLASSES = {}
+
+
+def _register():
+    for cls in (ExperimentConfig, ModelConfig, TrainConfig, DataConfig,
+                EvalConfig, MeshConfig, FusionConfig):
+        _CLASSES[cls.__name__] = cls
+
+
+_register()
+
+
+def config_to_dict(cfg: ExperimentConfig) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def _build(cls_name: str, d: dict):
+    cls = _CLASSES[cls_name]
+    nested = _NESTED.get(cls_name, {})
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue  # forward compat: absent fields keep their defaults
+        v = d[f.name]
+        if f.name in nested:
+            v = _build(nested[f.name], v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kw[f.name] = v
+    return cls(**kw)
+
+
+def config_from_dict(d: dict) -> ExperimentConfig:
+    return _build("ExperimentConfig", d)
+
+
+def save_config(cfg: ExperimentConfig, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2)
+
+
+def load_config(path: str) -> ExperimentConfig:
+    import json
+
+    with open(path) as f:
+        return config_from_dict(json.load(f))

@@ -120,7 +120,10 @@ class KNNClassifier:
         self.k = n_neighbors
 
     def fit(self, X, y):
-        self.X = jnp.asarray(np.asarray(X, np.float32))
+        # jnp.asarray is a no-op for device arrays: callers feeding
+        # device-resident features (in-loop validation proxy) pay no
+        # host round trip here
+        self.X = jnp.asarray(X, dtype=jnp.float32)
         y = np.asarray(y)
         self.classes_, self.y_idx = np.unique(y, return_inverse=True)
         return self
@@ -128,7 +131,7 @@ class KNNClassifier:
     def predict(self, X):
         from gemm_gan_tpu.eval.knn_pr import _pairwise_l2sq
 
-        d = _pairwise_l2sq(jnp.asarray(np.asarray(X, np.float32)), self.X)
+        d = _pairwise_l2sq(jnp.asarray(X, dtype=jnp.float32), self.X)
         _, idx = jax.lax.top_k(-d, self.k)
         votes = self.y_idx[np.asarray(idx)]
         n_classes = len(self.classes_)

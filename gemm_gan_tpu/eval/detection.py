@@ -183,6 +183,33 @@ def detection(data_real, data_gen, data_real_test, data_fake_test) -> Dict:
             for name, r in full.items()}
 
 
+def knn_detection(data_real, data_gen, data_real_test, data_fake_test,
+                  n_neighbors: int = 5) -> Dict:
+    """Device-distance kNN real-vs-fake two-sample test — the in-loop proxy
+    for the host classifier suite (`detection`). Inputs may be device (jax)
+    arrays; only the [N_test, k] neighbour indices leave the device, so a
+    validation pass transfers kilobytes instead of the full profile
+    matrices. Same real=0/fake=1 label convention; no shuffle needed (kNN
+    has no fit-order dependence)."""
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.eval.classifiers import KNNClassifier
+
+    train_X = jnp.concatenate([jnp.asarray(data_real, jnp.float32),
+                               jnp.asarray(data_gen, jnp.float32)])
+    train_y = np.array([0] * len(data_real) + [1] * len(data_gen))
+    test_X = jnp.concatenate([jnp.asarray(data_real_test, jnp.float32),
+                              jnp.asarray(data_fake_test, jnp.float32)])
+    test_y = np.array([0] * len(data_real_test) + [1] * len(data_fake_test))
+    pred = KNNClassifier(n_neighbors).fit(train_X, train_y).predict(test_X)
+    tp = float(np.sum((pred == 1) & (test_y == 1)))
+    fp = float(np.sum((pred == 1) & (test_y == 0)))
+    fn = float(np.sum((pred == 0) & (test_y == 1)))
+    f1 = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+    return {"KNN": {"accuracy": round(float(np.mean(pred == test_y)), 5),
+                    "f1": round(f1, 5)}}
+
+
 def tissues_classification(data_real, tissue_label_real, data_gen, tissue_label) -> Dict:
     """TSTR-style tissue classification (parity:
     generative_model_utils.py:104-120)."""

@@ -58,6 +58,7 @@ class WGANGPEngine:
         self._train_step = None
         self._train_many = None
         self._sample = None
+        self._sample_scan = None
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int, sample_batch: Dict[str, Any]) -> GANTrainState:
@@ -284,6 +285,72 @@ class WGANGPEngine:
 
         return sample
 
+    def _build_sample_scan(self):
+        latent = self.cfg.model.latent_dim
+        gen = self.gen
+
+        @functools.partial(jax.jit, static_argnames=("num_repeats", "batch"))
+        def sample_scan(g_params, key, cond_stacked, num_repeats: int, batch: int):
+            """[K, B, ...] stacked conditioning -> [K, R, B, n_genes] fakes in
+            ONE device program (lax.map over batches, inner map over repeats).
+
+            The condition embedding is computed ONCE per batch and reused by
+            all `num_repeats` z-draws — exact, because sampling embeds
+            deterministically — so the fusion stack (the dominant generator
+            cost at canonical shapes) runs K times instead of K*R, and the
+            per-call host dispatch (~30 ms over the tunneled backend) is paid
+            once instead of K*R times.
+
+            Key discipline: z for (batch k, repeat r) is
+            `normal(fold_in(fold_in(key, k), r))` — the per-call path in
+            `generate_samples_all` derives the identical keys, so the two
+            paths produce bitwise-comparable samples (parity test in
+            tests/test_engine.py).
+            """
+            def one_batch(k_idx, cond_k):
+                cvec = (None if cond_k is None else gen.apply(
+                    {"params": g_params}, cond_k, deterministic=True,
+                    method="embed_cond"))
+                kb = jax.random.fold_in(key, k_idx)
+
+                def one_rep(r):
+                    z = jax.random.normal(jax.random.fold_in(kb, r),
+                                          (batch, latent))
+                    return gen.apply({"params": g_params}, z, cvec,
+                                     method="score")
+
+                return jax.lax.map(one_rep, jnp.arange(num_repeats))
+
+            idxs = jnp.arange(jax.tree.leaves(cond_stacked)[0].shape[0])
+            return jax.lax.map(lambda args: one_batch(*args),
+                               (idxs, cond_stacked))  # [K, R, B, G]
+
+        @functools.partial(jax.jit,
+                           static_argnames=("n_batches", "num_repeats", "batch"))
+        def sample_scan_uncond(g_params, key, n_batches: int, num_repeats: int,
+                               batch: int):
+            def one_batch(k_idx):
+                kb = jax.random.fold_in(key, k_idx)
+
+                def one_rep(r):
+                    z = jax.random.normal(jax.random.fold_in(kb, r),
+                                          (batch, latent))
+                    return gen.apply({"params": g_params}, z, None,
+                                     method="score")
+
+                return jax.lax.map(one_rep, jnp.arange(num_repeats))
+
+            return jax.lax.map(one_batch, jnp.arange(n_batches))
+
+        return sample_scan, sample_scan_uncond
+
+    def _gen_params(self, state: GANTrainState, use_ema: Optional[bool]):
+        use_ema = (state.g_ema is not None) if use_ema is None else use_ema
+        if use_ema and state.g_ema is None:
+            raise ValueError("use_ema=True but the state has no EMA params "
+                             "(set train.ema_decay > 0 before init_state)")
+        return state.g_ema if use_ema else state.g_params
+
     def generate_samples(self, state: GANTrainState, key, batch: Dict[str, Any],
                          use_ema: Optional[bool] = None):
         """Generate one batch of fake expressions for the given conditioning.
@@ -295,32 +362,91 @@ class WGANGPEngine:
             self._sample = self._build_sample()
         cond = cond_of(batch)
         n = batch["genes"].shape[0]
-        use_ema = (state.g_ema is not None) if use_ema is None else use_ema
-        if use_ema and state.g_ema is None:
-            raise ValueError("use_ema=True but the state has no EMA params "
-                             "(set train.ema_decay > 0 before init_state)")
-        params = state.g_ema if use_ema else state.g_params
-        return self._sample(params, key, cond, n=n)
+        return self._sample(self._gen_params(state, use_ema), key, cond, n=n)
 
     def generate_samples_all(self, state, key, batches: Iterable[Dict[str, Any]],
-                             num_repeats: int = 1):
+                             num_repeats: int = 1,
+                             use_ema: Optional[bool] = None, scan: bool = False,
+                             device_out: bool = False):
         """Real/fake pairs over a whole loader (parity:
-        /root/reference/src/conditional_gan_concat.py:453-560)."""
-        reals, fakes, diseases, sites = [], [], [], []
+        /root/reference/src/conditional_gan_concat.py:453-560).
+
+        Both paths draw z for (batch k, repeat r) from
+        `fold_in(fold_in(key, k), r)`, so they sample identically:
+
+          * per-call (default): one jitted generator dispatch per batch per
+            repeat — compiles once, right for small/ad-hoc evaluation sets;
+          * `scan=True`: every full-size batch rides ONE `lax.map` device
+            program with the condition embedding computed once per batch and
+            shared across the `num_repeats` z-draws (exact — sampling embeds
+            deterministically). Amortizes the per-call dispatch latency
+            (~30 ms over a tunneled backend) for serving-style workloads; a
+            ragged tail batch falls back to per-call dispatches. Compiles per
+            (n_batches, batch, num_repeats) shape — prefer steady shapes.
+
+        `device_out=True` keeps `real`/`fake` as device (jax) arrays instead
+        of fetching them to numpy — for on-device consumers (in-loop metric
+        proxies, downstream models) where device->host transfer of full
+        profile matrices would dominate. Labels are always numpy.
+        """
         batches = list(batches)  # callers may pass a one-shot iterator
-        for _ in range(num_repeats):
-            for batch in batches:
-                key, sub = jax.random.split(key)
-                fake = self.generate_samples(state, sub, batch)
-                reals.append(np.asarray(batch["genes"]))
-                fakes.append(np.asarray(fake))
+        scan_fakes = None
+        if scan and batches:
+            b0 = batches[0]["genes"].shape[0]
+            n_full = 0
+            while (n_full < len(batches)
+                   and batches[n_full]["genes"].shape[0] == b0):
+                n_full += 1
+            # a ragged batch anywhere but last disables the scan path (loaders
+            # here never produce one, but callers may hand-build batch lists)
+            if all(b["genes"].shape[0] < b0 for b in batches[n_full:]) \
+                    and n_full * num_repeats > 1:
+                if self._sample_scan is None:
+                    self._sample_scan = self._build_sample_scan()
+                cond_scan, uncond_scan = self._sample_scan
+                params = self._gen_params(state, use_ema)
+                cond0 = cond_of(batches[0])
+                if cond0 is None:
+                    out = uncond_scan(params, key, n_batches=n_full,
+                                      num_repeats=num_repeats, batch=b0)
+                else:
+                    stacked = {k: jnp.stack([b[k] for b in batches[:n_full]])
+                               for k in cond0}
+                    out = cond_scan(params, key, stacked,
+                                    num_repeats=num_repeats, batch=b0)
+                if device_out:
+                    scan_fakes = out  # stays on device
+                else:
+                    # chunked device->host fetch: one monolithic device_get
+                    # of the [K, R, B, G] result moves ~2.7x slower than
+                    # per-batch chunks on the tunneled backend
+                    # (scripts/probe_subsystems.py "serving"); per-k slices
+                    # match the per-call path's chunking
+                    scan_fakes = np.stack(
+                        [np.asarray(out[k]) for k in range(out.shape[0])])
+
+        fetch = (lambda a: a) if device_out else np.asarray
+        reals, fakes, diseases, sites = [], [], [], []
+        for r in range(num_repeats):
+            for k_idx, batch in enumerate(batches):
+                if scan_fakes is not None and k_idx < scan_fakes.shape[0]:
+                    fake = scan_fakes[k_idx, r]
+                else:
+                    sub = jax.random.fold_in(jax.random.fold_in(key, k_idx), r)
+                    fake = fetch(self.generate_samples(
+                        state, sub, batch, use_ema=use_ema))
+                reals.append(fetch(batch["genes"]))
+                fakes.append(fake)
                 if "disease" in batch:
                     diseases.append(np.asarray(batch["disease"]))
                 if "site" in batch:
                     sites.append(np.asarray(batch["site"]))
-        out = {
-            "real": np.concatenate(reals), "fake": np.concatenate(fakes),
-        }
+        if device_out:
+            out = {"real": jnp.concatenate([jnp.asarray(a) for a in reals]),
+                   "fake": jnp.concatenate([jnp.asarray(a) for a in fakes])}
+        else:
+            out = {"real": np.concatenate(reals),
+                   "fake": np.concatenate(fakes)}
         if diseases:
             out["disease"] = np.concatenate(diseases)
         if sites:

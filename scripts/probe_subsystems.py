@@ -173,8 +173,83 @@ def probe_gamma(n=512, genes=18868):
             "seconds": round(sec, 3), "value_sample": round(val, 4)}
 
 
+def probe_sampling_scan(batch_size=64, n_batches=16, num_repeats=2):
+    """Serving throughput over a whole loader, per-call vs scan=True
+    (generate_samples_all): same K batches x R repeats, fakes fetched to
+    host either way. The scan path runs one lax.map device program with the
+    condition embedding shared across repeats."""
+    import jax
+
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    cfg = variant_config("film_cross_attention", n_genes=18868)
+    eng = WGANGPEngine(cfg, steps_per_epoch=100)
+    rng = np.random.RandomState(0)
+    batches = []
+    for _ in range(n_batches):
+        b = {
+            "genes": rng.randn(batch_size, 18868).astype(np.float32),
+            "tokens": rng.randn(batch_size, 300, 768).astype(np.float32),
+            "token_mask": np.ones((batch_size, 300), dtype=bool),
+            "patches": rng.randn(batch_size, 256, 1024).astype(np.float32),
+            "patch_mask": np.ones((batch_size, 256), dtype=bool),
+        }
+        batches.append({k: jax.device_put(v) for k, v in b.items()})
+    state = eng.init_state(0, batches[0])
+    key = jax.random.key(0)
+    n_profiles = batch_size * n_batches * num_repeats
+
+    out = {"metric": "serving_profiles_per_sec", "batch": batch_size,
+           "n_batches": n_batches, "num_repeats": num_repeats}
+    # host-delivery path: full fakes fetched to numpy (transfer-bound over
+    # the tunnel — both paths pay the same ~150 MB device->host)
+    for label, scan in (("per_call_fetch", False), ("scan_fetch", True)):
+        def call():
+            res = eng.generate_samples_all(state, key, batches,
+                                           num_repeats=num_repeats, scan=scan)
+            assert res["fake"].shape[0] == n_profiles
+        call()  # compile + warm
+        sec = _timed(call, n_calls=3)
+        out[label] = round(n_profiles / sec, 1)
+
+    # compute path: execution forced by a scalar sync, fakes stay on device
+    # (what an on-device consumer — eval metrics, a downstream model — sees)
+    def per_call_sync():
+        outs = []
+        for r in range(num_repeats):
+            for k_idx, b in enumerate(batches):
+                sub = jax.random.fold_in(jax.random.fold_in(key, k_idx), r)
+                outs.append(eng.generate_samples(state, sub, b))
+        for o in outs:
+            _sync(o[0, :1])
+
+    per_call_sync()
+    out["per_call_compute"] = round(n_profiles / _timed(per_call_sync, 3), 1)
+
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.train.wgan import COND_KEYS
+
+    if eng._sample_scan is None:
+        eng._sample_scan = eng._build_sample_scan()
+    cond_scan, _ = eng._sample_scan
+    stacked = {k: jnp.stack([b[k] for b in batches])
+               for k in COND_KEYS if k in batches[0]}
+
+    def scan_sync():
+        o = cond_scan(state.g_params, key, stacked,
+                      num_repeats=num_repeats, batch=batch_size)
+        _sync(o[0, 0, 0, :1])
+
+    scan_sync()
+    out["scan_compute"] = round(n_profiles / _timed(scan_sync, 3), 1)
+    return out
+
+
 PROBES = {"sampling": probe_sampling, "perstep": probe_perstep,
-          "flash": probe_flash, "vit": probe_vit, "gamma": probe_gamma}
+          "flash": probe_flash, "vit": probe_vit, "gamma": probe_gamma,
+          "serving": probe_sampling_scan}
 
 
 def main():

@@ -108,3 +108,48 @@ def test_cli_train_vae_family(variant, data_dir, tmp_path):
     if variant == "cvae":
         files = os.listdir(os.path.join(run_dir, dumps[0]))
         assert "train_labels_primary_site_real.npy" in files
+
+
+def test_config_json_roundtrip():
+    """The resolved config tree must survive JSON (tuples, nested sections,
+    defaults for absent fields)."""
+    import dataclasses
+
+    from gemm_gan_tpu.config import (config_from_dict, config_to_dict,
+                                     variant_config)
+
+    cfg = variant_config("film_cross_attention", n_genes=77,
+                         fusion_kw=dict(cond_dim=32, num_heads=2))
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.5,
+                                       clip_grad_disc=3.0))
+    d = json.loads(json.dumps(config_to_dict(cfg)))
+    assert config_from_dict(d) == cfg
+    # forward compat: a config written before a field existed still loads
+    d["train"].pop("ema_decay")
+    assert config_from_dict(d).train.ema_decay == 0.0
+
+
+def test_cli_sample_restores_saved_config(data_dir, tmp_path):
+    """cli.sample rebuilds the model from the run dir's config.json: this
+    checkpoint was trained with non-default dims (latent 8, hidden 16,
+    num_patches 4, EMA on) which the sampler cannot guess from flags. Also
+    exercises the --scan serving path end to end."""
+    from gemm_gan_tpu.cli.sample import main as sample_main
+    from gemm_gan_tpu.cli.train import main as train_main
+
+    out = str(tmp_path / "out_s")
+    train_main(["--variant", "film", "--data_dir", data_dir,
+                "--output_path", out, "--run_name", "s",
+                "--batch_size", "8", "--epochs", "1", "--latent_dim", "8",
+                "--hidden_dim", "16", "--num_patches", "4",
+                "--freq_compute_test", "10", "--ema_decay", "0.9"])
+    run_dir = os.path.join(out, "s")
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    gen_path = str(tmp_path / "gen.npy")
+    sample_main(["--variant", "film", "--data_dir", data_dir,
+                 "--ckpt_dir", os.path.join(run_dir, "ckpt"),
+                 "--out", gen_path, "--num_repeats", "2", "--scan"])
+    gen = np.load(gen_path)
+    assert gen.ndim == 2
+    assert np.isfinite(gen).all()

@@ -92,3 +92,31 @@ def test_heatmap_evaluator(rng, tmp_path):
     import os
 
     assert os.path.exists(path)
+
+
+def test_knn_detection_matches_sklearn():
+    """Device-distance kNN detection proxy vs sklearn KNeighborsClassifier
+    on the same fixture: identical predictions -> identical accuracy/f1."""
+    from sklearn.metrics import f1_score
+    from sklearn.neighbors import KNeighborsClassifier
+
+    from gemm_gan_tpu.eval.detection import knn_detection
+
+    rng = np.random.RandomState(0)
+    real_tr = rng.randn(40, 12).astype(np.float32)
+    fake_tr = (rng.randn(40, 12) + 1.5).astype(np.float32)
+    real_te = rng.randn(24, 12).astype(np.float32)
+    fake_te = (rng.randn(24, 12) + 1.5).astype(np.float32)
+
+    out = knn_detection(real_tr, fake_tr, real_te, fake_te, n_neighbors=5)
+
+    X = np.vstack([real_tr, fake_tr])
+    y = np.array([0] * 40 + [1] * 40)
+    Xte = np.vstack([real_te, fake_te])
+    yte = np.array([0] * 24 + [1] * 24)
+    sk = KNeighborsClassifier(n_neighbors=5).fit(X, y)
+    pred = sk.predict(Xte)
+    assert out["KNN"]["accuracy"] == pytest.approx(float((pred == yte).mean()),
+                                                   abs=1e-6)
+    assert out["KNN"]["f1"] == pytest.approx(
+        float(f1_score(yte, pred)), abs=1e-6)

@@ -93,6 +93,43 @@ def test_generate_samples_all(tiny_data, make_tiny_cfg):
     assert out["disease"].shape[0] == n
 
 
+def test_generate_samples_all_scan_matches_percall(tiny_data, make_tiny_cfg):
+    """scan=True runs the full loader as ONE lax.map program with the
+    condition embedding computed once per batch and shared across repeats.
+    Both paths draw z from fold_in(fold_in(key, batch), repeat), so the scan
+    path must reproduce the per-call samples exactly (incl. the ragged tail
+    batch, which scan hands back to the per-call path)."""
+    cfg = make_tiny_cfg("film_cross_attention")
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    # batch_size 7 over n=48 -> 6 full batches + a ragged tail of 6
+    loader = Batches(tiny_data, batch_size=7, seed=0, shuffle=False,
+                     drop_remainder=False)
+    state = eng.init_state(0, next(iter(loader.epoch(0))))
+    key = jax.random.key(5)
+    a = eng.generate_samples_all(state, key, loader.epoch(0), num_repeats=2)
+    b = eng.generate_samples_all(state, key, loader.epoch(0), num_repeats=2,
+                                 scan=True)
+    assert a["fake"].shape == b["fake"].shape == (96, 24)
+    np.testing.assert_allclose(a["fake"], b["fake"], atol=1e-5)
+    np.testing.assert_array_equal(a["real"], b["real"])
+    np.testing.assert_array_equal(a["disease"], b["disease"])
+    np.testing.assert_array_equal(a["site"], b["site"])
+
+
+def test_generate_samples_all_scan_unconditional(tiny_data, make_tiny_cfg):
+    cfg = make_tiny_cfg("vanilla")
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    loader = Batches({"genes": tiny_data["genes"]}, batch_size=8, seed=0,
+                     shuffle=False)
+    state = eng.init_state(0, next(iter(loader.epoch(0))))
+    key = jax.random.key(7)
+    a = eng.generate_samples_all(state, key, loader.epoch(0), num_repeats=3)
+    b = eng.generate_samples_all(state, key, loader.epoch(0), num_repeats=3,
+                                 scan=True)
+    np.testing.assert_allclose(a["fake"], b["fake"], atol=1e-5)
+    np.testing.assert_array_equal(a["real"], b["real"])
+
+
 def test_step_many_matches_sequential(tiny_data, make_tiny_cfg):
     """lax.scan multi-step must equal K sequential fused steps bitwise."""
     import jax.numpy as jnp

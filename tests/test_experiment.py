@@ -97,3 +97,31 @@ def test_generate_balanced_oversamples(experiment_run):
     # oversampling narrows the class-count spread vs the raw train split
     raw = np.bincount(exp.splits["train"]["disease"])
     assert counts.max() - counts.min() <= raw.max() - raw.min()
+
+
+def test_on_device_validation_proxy(tmp_path):
+    """eval.on_device_validation swaps the periodic validation to the
+    device-side kNN-detection + PRDC proxy: generation stays on device
+    (device_out=True) and the history record carries the proxy keys the
+    curve plotter understands."""
+    from tests.conftest import tiny_cfg
+
+    tiny_data = synthetic_dataset(n=48, n_genes=24, n_classes=3, n_sites=2,
+                                  num_patches=8, patch_dim=16, num_tokens=6,
+                                  text_dim=12, seed=1)
+    cfg = tiny_cfg("benchmark", train_kw=dict(
+        n_critic=2, epochs=2, freq_compute_test=1, batch_size=8))
+    cfg = dataclasses.replace(
+        cfg, output_dir=str(tmp_path), run_name="proxy",
+        eval=dataclasses.replace(cfg.eval, n_runs=1, pca_components=4,
+                                 nearest_k=3, on_device_validation=True))
+    exp = Experiment(cfg, _splits(tiny_data))
+    results = exp.fit()
+    assert np.isfinite(results["gamma_mean"])
+    assert len(exp.val_metrics_history) == 1
+    rec = exp.val_metrics_history[0]
+    assert "KNN" in rec["detection"]
+    assert 0.0 <= rec["detection"]["KNN"]["accuracy"] <= 1.0
+    for k in ("precision", "recall", "density", "coverage"):
+        assert np.isfinite(rec["metrics"][k])
+    assert os.path.exists(os.path.join(exp.out_dir, "validation_metrics.png"))
