@@ -157,7 +157,7 @@ def gamma_coefficients(expr_x: np.ndarray, expr_z: np.ndarray):
 
 
 def tf_tg_corrs(expr: np.ndarray, gene_names, tf_tg: dict):
-    """Per-TF correlations with its target genes (parity: corr_score.py:238-290)."""
+    """Per-TF correlations with its target genes (compact dict form)."""
     idx = {g: i for i, g in enumerate(gene_names)}
     out = {}
     for tf, tgs in tf_tg.items():
@@ -169,3 +169,40 @@ def tf_tg_corrs(expr: np.ndarray, gene_names, tf_tg: dict):
         corr = pearson_correlation(expr[:, [idx[tf]]], expr[:, tg_idx])
         out[tf] = corr.ravel()
     return out
+
+
+def load_tf_tg_graph(path: str) -> dict:
+    """TF→target-genes dict from a TSV graph file of `tf \\t _ \\t tg` lines
+    (parity: corr_score.py:238-253 `tf_tg_interactions`)."""
+    tf_tg = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            tf, _, tg = line.split("\t")
+            tf_tg.setdefault(tf, []).append(tg)
+    return tf_tg
+
+
+def compute_tf_tg_corrs(expr: np.ndarray, gene_symbols, tf_tg: dict,
+                        flat: bool = True):
+    """(TF-TG correlations, TG-TG correlations) per TF, optionally flattened
+    (parity: corr_score.py:255-290 — for each TF present in the expression
+    matrix with at least one present target: the condensed TG-TG correlation
+    list of its targets, and the TF-vs-each-TG correlation list)."""
+    gene_symbols = np.asarray(gene_symbols)
+    tf_tg_corr, tg_tg_corr = [], []
+    for tf, tgs in tf_tg.items():
+        tg_idxs = np.array([np.where(gene_symbols == tg)[0]
+                            for tg in tgs if tg in gene_symbols]).ravel()
+        if tf in gene_symbols and len(tg_idxs) > 0:
+            expr_tgs = expr[:, tg_idxs.astype(int)]
+            tg_tg_corr.append(correlations_list(expr_tgs, expr_tgs).tolist())
+            tf_idx = int(np.argwhere(gene_symbols == tf)[0][0])
+            corr = pearson_correlation(expr[:, [tf_idx]], expr_tgs).ravel()
+            tf_tg_corr.append(corr.tolist())
+    if flat:
+        tf_tg_corr = [c for lst in tf_tg_corr for c in lst]
+        tg_tg_corr = [c for lst in tg_tg_corr for c in lst]
+    return tf_tg_corr, tg_tg_corr

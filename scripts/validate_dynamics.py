@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--patch-dim", type=int, default=1024)
     ap.add_argument("--tokens", type=int, default=300)
     ap.add_argument("--text-dim", type=int, default=768)
+    ap.add_argument("--on-device-eval", action="store_true",
+                    help="evaluate with the device-side proxy (device_out "
+                         "generation + kNN detection + device PRDC): only "
+                         "scalars leave the chip")
     args = ap.parse_args()
 
     import dataclasses
@@ -109,14 +113,28 @@ def main():
                       "steps_per_epoch": cache.n_full_batches}), flush=True)
 
     def evaluate(state, epoch):
+        te0 = time.time()
         key = jax.random.key(1234 + epoch)
-        out = eng.generate_samples_all(state, key, test_cache.epoch(0))
-        real, fake = out["real"], out["fake"]
-        prdc = compute_prdc(real, fake, nearest_k=10)
-        det = detection(real[:len(real) // 2], fake[:len(fake) // 2],
-                        real[len(real) // 2:], fake[len(fake) // 2:])
-        det_acc = float(np.mean([v["accuracy"] for v in det.values()]))
+        h_real = test_cache.n // 2
+        if args.on_device_eval:
+            from gemm_gan_tpu.eval.detection import knn_detection
+
+            out = eng.generate_samples_all(state, key, test_cache.epoch(0),
+                                           device_out=True)
+            real, fake = out["real"], out["fake"]
+            prdc = compute_prdc(real, fake, nearest_k=10)
+            det = knn_detection(real[:h_real], fake[:h_real],
+                                real[h_real:], fake[h_real:])
+            det_acc = float(det["KNN"]["accuracy"])
+        else:
+            out = eng.generate_samples_all(state, key, test_cache.epoch(0))
+            real, fake = out["real"], out["fake"]
+            prdc = compute_prdc(real, fake, nearest_k=10)
+            det = detection(real[:h_real], fake[:h_real],
+                            real[h_real:], fake[h_real:])
+            det_acc = float(np.mean([v["accuracy"] for v in det.values()]))
         rec = {"event": "eval", "epoch": epoch,
+               "eval_s": round(time.time() - te0, 1),
                "wall_s": round(time.time() - t0, 1),
                "gamma": round(float(gamma_coef(real, fake)), 4),
                "precision": round(float(prdc["precision"]), 4),

@@ -73,3 +73,39 @@ def test_gamma_uncorrelated_is_small(rng):
 def test_correlations_list_shape(rng):
     x = rng.randn(10, 6)
     assert correlations_list(x, x).shape == (15,)
+
+
+def test_tf_tg_graph_and_corrs():
+    """load_tf_tg_graph TSV parse + compute_tf_tg_corrs output contract
+    (parity: corr_score.py:238-290 — per present TF: TF-vs-TG correlation
+    list and condensed TG-TG list; absent TFs/TGs skipped)."""
+    import os
+    import tempfile
+
+    from gemm_gan_tpu.eval.gamma import (compute_tf_tg_corrs,
+                                         load_tf_tg_graph,
+                                         pearson_correlation,
+                                         upper_diag_list)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "graph.tsv")
+        with open(path, "w") as f:
+            f.write("g0\tx\tg1\ng0\tx\tg2\nMISSING\tx\tg1\ng3\tx\tNOPE\n")
+        tf_tg = load_tf_tg_graph(path)
+    assert tf_tg == {"g0": ["g1", "g2"], "MISSING": ["g1"], "g3": ["NOPE"]}
+
+    rng = np.random.RandomState(0)
+    expr = rng.randn(50, 4).astype(np.float64)
+    genes = ["g0", "g1", "g2", "g3"]
+    tf_corr, tg_corr = compute_tf_tg_corrs(expr, genes, tf_tg)
+    # g0 contributes 2 TF-TG corrs + 1 condensed TG-TG corr; MISSING (absent
+    # TF) and g3 (no present targets) contribute nothing
+    expected_tf = pearson_correlation(expr[:, [0]], expr[:, [1, 2]]).ravel()
+    expected_tg = upper_diag_list(
+        pearson_correlation(expr[:, [1, 2]], expr[:, [1, 2]]))
+    np.testing.assert_allclose(tf_corr, expected_tf)
+    np.testing.assert_allclose(tg_corr, expected_tg)
+
+    nested_tf, nested_tg = compute_tf_tg_corrs(expr, genes, tf_tg, flat=False)
+    assert len(nested_tf) == 1 and len(nested_tf[0]) == 2
+    assert len(nested_tg) == 1 and len(nested_tg[0]) == 1
