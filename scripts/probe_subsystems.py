@@ -247,9 +247,71 @@ def probe_sampling_scan(batch_size=64, n_batches=16, num_repeats=2):
     return out
 
 
+def probe_validation(n=512, genes=18868, batch=64):
+    """Periodic-validation pass, host protocol vs on-device proxy, seconds.
+
+    Host mode = the reference protocol (fetch full real/fake matrices, run
+    the LR/MLP/RF detection suite + compute_evaluation_metrics raw+PCA).
+    Proxy mode = eval.on_device_validation (device_out generation, kNN
+    detection + PRDC from device arrays — only scalars leave the chip).
+    Same generator, same untrained state, same conditioning cache.
+    """
+    import time as _time
+
+    import jax
+
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.data.device_cache import DeviceCache
+    from gemm_gan_tpu.eval.detection import (compute_evaluation_metrics,
+                                             detection, knn_detection)
+    from gemm_gan_tpu.eval.prdc import compute_prdc
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    rng = np.random.RandomState(0)
+    data = {
+        "genes": rng.randn(n, genes).astype(np.float32),
+        "tokens": rng.randn(n, 300, 768).astype(np.float32),
+        "token_mask": np.ones((n, 300), dtype=bool),
+        "patches": rng.randn(n, 256, 1024).astype(np.float32),
+        "patch_mask": np.ones((n, 256), dtype=bool),
+    }
+    cache = DeviceCache(data, batch_size=batch, seed=0, shuffle=False,
+                        drop_remainder=False)
+    cfg = variant_config("film_cross_attention", n_genes=genes)
+    eng = WGANGPEngine(cfg, steps_per_epoch=1)
+    state = eng.init_state(0, next(iter(cache.epoch(0))))
+    key = jax.random.key(0)
+    h = n // 2
+    out = {"metric": "validation_eval_seconds", "n": n, "genes": genes}
+
+    def host_mode():
+        o = eng.generate_samples_all(state, key, cache.epoch(0))
+        real, fake = o["real"], o["fake"]
+        det = detection(real[:h], fake[:h], real[h:], fake[h:])
+        met = compute_evaluation_metrics(real[:h], fake[:h], real[h:],
+                                         fake[h:], nn=10,
+                                         n_components=min(100, h - 1))
+        return det, met
+
+    def proxy_mode():
+        o = eng.generate_samples_all(state, key, cache.epoch(0),
+                                     device_out=True)
+        real, fake = o["real"], o["fake"]
+        det = knn_detection(real[:h], fake[:h], real[h:], fake[h:])
+        met = compute_prdc(real[:h], fake[:h], nearest_k=10)
+        return det, met
+
+    for label, fn in (("proxy", proxy_mode), ("host", host_mode)):
+        fn()  # compile + warm
+        t0 = _time.perf_counter()
+        fn()
+        out[label + "_s"] = round(_time.perf_counter() - t0, 2)
+    return out
+
+
 PROBES = {"sampling": probe_sampling, "perstep": probe_perstep,
           "flash": probe_flash, "vit": probe_vit, "gamma": probe_gamma,
-          "serving": probe_sampling_scan}
+          "serving": probe_sampling_scan, "validation": probe_validation}
 
 
 def main():
