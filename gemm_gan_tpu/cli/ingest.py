@@ -42,6 +42,10 @@ def build_parser():
     p.add_argument("--uni_checkpoint", default="",
                    help="timm UNI state-dict (.bin/.pth); enables embedding")
     p.add_argument("--skip_slides", action="store_true")
+    p.add_argument("--encoder_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="UNI embedding compute dtype; outputs are cast back "
+                        "to f32 before caching")
     return p
 
 
@@ -112,8 +116,13 @@ def _embed_slides(args, client, index, slide_sel):
     sd = torch.load(args.uni_checkpoint, map_location="cpu")
     params = convert_timm_vit_state_dict(
         {k: v.numpy() for k, v in sd.items()}, p)
-    vit = FlaxViT(p)
-    embed = jax.jit(lambda x: vit.apply({"params": params}, x))
+    # bf16 compute (f32 params/layernorms/softmax) for the embedding stage:
+    # inference-only, cosine > 0.999 vs f32 (probe_subsystems.py vit) — the
+    # WGAN-critic bf16 caution does not apply to offline encoders
+    dtype = jnp.bfloat16 if args.encoder_dtype == "bfloat16" else jnp.float32
+    vit = FlaxViT(p, dtype=dtype)
+    embed = jax.jit(lambda x: vit.apply({"params": params},
+                                        x).astype(jnp.float32))
 
     file_by_case = dict(zip(slide_sel["case_id"], slide_sel["file_name"]))
     id_by_case = dict(zip(slide_sel["case_id"], slide_sel["file_id"]))

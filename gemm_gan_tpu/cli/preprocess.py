@@ -38,6 +38,10 @@ def build_parser():
     p.add_argument("--contrastive_dim", type=int, default=0,
                    help=">0 trains the projection pair and writes caches")
     p.add_argument("--contrastive_epochs", type=int, default=50)
+    p.add_argument("--encoder_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="ModernBERT embedding compute dtype; cached "
+                        "embeddings are cast back to f32")
     return p
 
 
@@ -84,8 +88,12 @@ def main(argv=None):
     params = convert_modernbert_state_dict(
         {k: v.numpy() for k, v in hf.state_dict().items()}, p)
     del hf
-    model = FlaxModernBert(p)
-    encode = jax.jit(lambda ids, mask: model.apply({"params": params}, ids, mask))
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.encoder_dtype == "bfloat16" else jnp.float32
+    model = FlaxModernBert(p, dtype=dtype)
+    encode = jax.jit(lambda ids, mask: model.apply(
+        {"params": params}, ids, mask).astype(jnp.float32))
 
     ids_by_case, mask_by_case = {}, {}
     for case, text in descriptions.items():

@@ -137,25 +137,35 @@ def probe_flash(L=4096, B=8, H=4, D=64):
 
 
 def probe_vit(batch_size=64, n_calls=4):
-    """UNI ViT-L/16 jitted batch inference, imgs/sec."""
+    """UNI ViT-L/16 jitted batch inference, imgs/sec, f32 vs bf16 compute
+    (params f32 either way; layernorms/softmax pinned f32 in the module)."""
     import jax
     import jax.numpy as jnp
 
     from gemm_gan_tpu.encoders.vit import FlaxViT
 
-    model = FlaxViT()  # UNI ViT-L/16 layout
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.randn(batch_size, 224, 224, 3).astype(np.float32))
-    params = model.init({"params": jax.random.key(0)}, imgs[:1])
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    out = {"metric": "vit_l16_imgs_per_sec", "batch": batch_size}
+    params = FlaxViT().init({"params": jax.random.key(0)}, imgs[:1])
+    for label, dtype in (("value", jnp.float32), ("value_bf16", jnp.bfloat16)):
+        model = FlaxViT(dtype=dtype)
+        fwd = jax.jit(lambda p, x, m=model: m.apply(p, x))
 
-    def call():
-        _sync(fwd(params, imgs)[0, :1])
+        def call():
+            _sync(fwd(params, imgs)[0, :1])
 
-    call()
-    sec = _timed(call, n_calls)
-    return {"metric": "vit_l16_imgs_per_sec", "batch": batch_size,
-            "value": round(batch_size / sec, 1)}
+        call()
+        sec = _timed(call, n_calls)
+        out[label] = round(batch_size / sec, 1)
+    # embedding fidelity of the bf16 path vs f32 on the same inputs
+    e32 = np.asarray(jax.jit(lambda p, x: FlaxViT().apply(p, x))(params, imgs))
+    e16 = np.asarray(jax.jit(
+        lambda p, x: FlaxViT(dtype=jnp.bfloat16).apply(p, x))(params, imgs))
+    cos = np.sum(e32 * e16, 1) / (np.linalg.norm(e32, axis=1)
+                                  * np.linalg.norm(e16, axis=1) + 1e-12)
+    out["bf16_min_cosine_vs_f32"] = round(float(cos.min()), 6)
+    return out
 
 
 def probe_gamma(n=512, genes=18868):

@@ -138,3 +138,41 @@ def test_vit_dynamic_image_size_interpolates_pos_embed():
     out_dyn = m.apply(params, np.zeros((2, 48, 48, 3), np.float32))
     assert out224.shape == out_dyn.shape == (2, 16)
     assert np.isfinite(np.asarray(out_dyn)).all()
+
+
+def test_encoders_bf16_compute_close_to_f32():
+    """bf16 compute dtype (ingest/preprocess --encoder_dtype) must track the
+    f32 embeddings closely — inference-only precision for the offline
+    embedding caches (layernorms/softmax stay f32 in both modules)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gemm_gan_tpu.encoders.modernbert import FlaxModernBert, ModernBertParams
+    from gemm_gan_tpu.encoders.vit import FlaxViT, ViTParams
+
+    def cos(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        num = (a * b).sum(-1)
+        return num / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+                      + 1e-12)
+
+    p = ViTParams(img_size=32, patch_size=8, hidden_size=32, num_layers=2,
+                  num_heads=2)
+    imgs = jnp.asarray(np.random.RandomState(0).randn(4, 32, 32, 3),
+                       jnp.float32)
+    params = FlaxViT(p).init({"params": jax.random.key(0)}, imgs[:1])
+    e32 = FlaxViT(p).apply(params, imgs)
+    e16 = FlaxViT(p, dtype=jnp.bfloat16).apply(params, imgs)
+    assert cos(e32, e16).min() > 0.99
+
+    mp = ModernBertParams(vocab_size=64, hidden_size=16, intermediate_size=24,
+                          num_layers=2, num_heads=2, global_every=2,
+                          local_window=4)
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 64, (4, 16)),
+                      jnp.int32)
+    mask = jnp.ones((4, 16), bool)
+    bparams = FlaxModernBert(mp).init({"params": jax.random.key(1)}, ids, mask)
+    t32 = FlaxModernBert(mp).apply(bparams, ids, mask)
+    t16 = FlaxModernBert(mp, dtype=jnp.bfloat16).apply(bparams, ids, mask)
+    assert cos(t32, t16).min() > 0.99
