@@ -224,8 +224,25 @@ class Experiment:
                     })
             save_run_artifacts(run_dir, arrays)
 
+            pr_at_k = {}
+            if ev.pr_nhood_sizes:
+                # vanilla-variant extra: kNN P/R at each k on the test-set
+                # real-vs-gen pair (vanilla_gan_unconditional.py:517-524).
+                # nhood sizes must fit the manifold (k-th neighbor exists)
+                from gemm_gan_tpu.eval.knn_pr import knn_precision_recall_features
+
+                n_ref = min(test_out["real"].shape[0], test_out["fake"].shape[0])
+                ks = tuple(k for k in ev.pr_nhood_sizes if k < n_ref)
+                if ks:
+                    state_pr = knn_precision_recall_features(
+                        test_out["real"], test_out["fake"], nhood_sizes=ks)
+                    for i, k in enumerate(ks):
+                        pr_at_k[f"precision@{k}"] = float(state_pr["precision"][i])
+                        pr_at_k[f"recall@{k}"] = float(state_pr["recall"][i])
+
             res = {
                 "gamma": float(gamma_coef(test_out["real"], test_out["fake"])),
+                **pr_at_k,
                 "detection": detection(train_out["real"], train_out["fake"],
                                        test_out["real"], test_out["fake"]),
                 "metrics": compute_evaluation_metrics(

@@ -161,6 +161,11 @@ class EvalConfig:
     detection_classifiers: Tuple[str, ...] = ("LR", "MLP", "RF")
     balanced_max_oversample: int = 5
     n_runs: int = 2
+    # extra per-run kNN precision/recall at these neighborhood sizes during
+    # the test block (reference: vanilla_gan_unconditional.py:517-524 calls
+    # get_precision_recall at k=10/20/50; other variants skip it). All sizes
+    # are computed from ONE manifold build instead of one per k.
+    pr_nhood_sizes: Tuple[int, ...] = ()
     # scan-path generation during eval blocks: whole loader in one device
     # program, condition embedding shared across repeats (train/wgan.py
     # generate_samples_all(scan=True)). One extra XLA compile per eval-set
@@ -244,7 +249,9 @@ def variant_config(variant: str, n_genes: int = 18868, **overrides) -> Experimen
         train = dataclasses.replace(train, epochs=1000)
     ev = EvalConfig()
     if variant == "vanilla":
-        ev = dataclasses.replace(ev, n_runs=5)
+        # 5 test runs + precision/recall@{10,20,50}
+        # (vanilla_gan_unconditional.py:517-524,634)
+        ev = dataclasses.replace(ev, n_runs=5, pr_nhood_sizes=(10, 20, 50))
     elif variant in ("benchmark", "cvae"):
         ev = dataclasses.replace(ev, n_runs=10)
     data = DataConfig(batch_schema=_schema_for(variant))

@@ -99,6 +99,43 @@ def test_generate_balanced_oversamples(experiment_run):
     assert counts.max() - counts.min() <= raw.max() - raw.min()
 
 
+def test_vanilla_test_block_reports_pr_at_k(tmp_path):
+    """The vanilla preset computes kNN precision/recall@{10,20,50} per test
+    run (vanilla_gan_unconditional.py:517-524); sizes >= the manifold are
+    dropped, and values agree with a direct get_precision_recall call."""
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.eval.knn_pr import get_precision_recall
+    from tests.conftest import tiny_cfg
+
+    assert variant_config("vanilla").eval.pr_nhood_sizes == (10, 20, 50)
+    assert variant_config("concat_text").eval.pr_nhood_sizes == ()
+
+    tiny_data = synthetic_dataset(n=48, n_genes=24, n_classes=3, n_sites=2,
+                                  num_patches=8, patch_dim=16, num_tokens=6,
+                                  text_dim=12, seed=1)
+    cfg = tiny_cfg("vanilla", train_kw=dict(
+        n_critic=2, epochs=1, freq_compute_test=5, batch_size=8))
+    cfg = dataclasses.replace(
+        cfg, output_dir=str(tmp_path), run_name="pr",
+        eval=dataclasses.replace(cfg.eval, n_runs=1, pca_components=4,
+                                 nearest_k=3, pr_nhood_sizes=(3, 64)))
+    splits = {s: {"genes": d["genes"]} for s, d in _splits(tiny_data).items()
+              if s != "meta"}
+    splits["meta"] = {"n_genes": 24}
+    exp = Experiment(cfg, splits)
+    results = exp.fit()
+    run = results["runs"][0]
+    # k=64 exceeds the 8-sample test manifold and is dropped; k=3 is kept
+    assert "precision@64" not in run and "recall@64" not in run
+    assert 0.0 <= run["precision@3"] <= 1.0 and 0.0 <= run["recall@3"] <= 1.0
+    d = os.path.join(exp.out_dir, "test_0_epoch_1")
+    p, r = get_precision_recall(np.load(os.path.join(d, "test_real.npy")),
+                                np.load(os.path.join(d, "test_gen.npy")),
+                                nb_nn=(3,))
+    assert run["precision@3"] == pytest.approx(p)
+    assert run["recall@3"] == pytest.approx(r)
+
+
 def test_on_device_validation_proxy(tmp_path):
     """eval.on_device_validation swaps the periodic validation to the
     device-side kNN-detection + PRDC proxy: generation stays on device
