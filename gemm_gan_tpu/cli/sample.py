@@ -23,6 +23,12 @@ def main(argv=None):
                    help="serving fast path: whole loader in one scanned "
                         "device program, condition embedding shared across "
                         "repeats (one extra XLA compile per shape)")
+    p.add_argument("--host_dtype", default=None,
+                   choices=["float16", "bfloat16", "float32"],
+                   help="cast profiles on device before fetching: halves "
+                        "the device->host wire bytes and the output .npy "
+                        "size (~5%% faster delivery on the tunneled backend, "
+                        "proportional on bandwidth-bound links)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -75,12 +81,22 @@ def main(argv=None):
     state = restore_state(args.ckpt_dir, template)
 
     key = jax.random.key(args.seed)
+    host_dtype = np.dtype(args.host_dtype) if args.host_dtype == "float16" \
+        else args.host_dtype
+    if host_dtype == "bfloat16":
+        import jax.numpy as jnp
+        host_dtype = jnp.bfloat16
+    elif host_dtype == "float32":
+        host_dtype = None
     if args.balanced:
         out = exp.generate_balanced(state, key, num_repeats=args.num_repeats)
+        if host_dtype is not None:
+            out["fake"] = out["fake"].astype(host_dtype)
     else:
         out = exp.engine.generate_samples_all(
             state, key, exp.loaders["train"].epoch(0),
-            num_repeats=args.num_repeats, scan=args.scan)
+            num_repeats=args.num_repeats, scan=args.scan,
+            host_dtype=host_dtype)
     np.save(args.out, out["fake"])
     print(f"wrote {out['fake'].shape} -> {os.path.abspath(args.out)}")
 

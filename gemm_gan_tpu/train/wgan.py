@@ -367,7 +367,7 @@ class WGANGPEngine:
     def generate_samples_all(self, state, key, batches: Iterable[Dict[str, Any]],
                              num_repeats: int = 1,
                              use_ema: Optional[bool] = None, scan: bool = False,
-                             device_out: bool = False):
+                             device_out: bool = False, host_dtype=None):
         """Real/fake pairs over a whole loader (parity:
         /root/reference/src/conditional_gan_concat.py:453-560).
 
@@ -388,6 +388,17 @@ class WGANGPEngine:
         of fetching them to numpy — for on-device consumers (in-loop metric
         proxies, downstream models) where device->host transfer of full
         profile matrices would dominate. Labels are always numpy.
+
+        `host_dtype` (e.g. `np.float16`; ignored under `device_out`): cast
+        `real`/`fake` ON DEVICE to a narrower dtype before fetching, so the
+        device->host wire carries half the bytes and the returned arrays
+        (and any .npy written from them) are half the size. Measured on the
+        tunneled backend it buys only ~5% delivered profiles/s (the
+        transport is per-transfer-overhead-dominated at these chunk sizes —
+        BASELINE.md "f16 delivery"); the win is proportional on genuinely
+        bandwidth-bound links. Opt-in precision trade on the DELIVERED copy
+        only (profiles are z-scored O(1) values; f16 keeps ~3 significant
+        digits); parity evaluation stays f32.
         """
         batches = list(batches)  # callers may pass a one-shot iterator
         scan_fakes = None
@@ -417,6 +428,8 @@ class WGANGPEngine:
                 if device_out:
                     scan_fakes = out  # stays on device
                 else:
+                    if host_dtype is not None:
+                        out = out.astype(host_dtype)  # one device-side cast
                     # chunked device->host fetch: one monolithic device_get
                     # of the [K, R, B, G] result moves ~2.7x slower than
                     # per-batch chunks on the tunneled backend
@@ -425,7 +438,15 @@ class WGANGPEngine:
                     scan_fakes = np.stack(
                         [np.asarray(out[k]) for k in range(out.shape[0])])
 
-        fetch = (lambda a: a) if device_out else np.asarray
+        if device_out:
+            fetch = lambda a: a
+        elif host_dtype is not None:
+            # .astype on a device array dispatches on device, so np.asarray
+            # then pulls the narrow representation over the wire; on numpy
+            # inputs it is a host cast (no wire to save)
+            fetch = lambda a: np.asarray(a.astype(host_dtype))
+        else:
+            fetch = np.asarray
         reals, fakes, diseases, sites = [], [], [], []
         for r in range(num_repeats):
             for k_idx, batch in enumerate(batches):

@@ -214,10 +214,13 @@ def probe_sampling_scan(batch_size=64, n_batches=16, num_repeats=2):
            "n_batches": n_batches, "num_repeats": num_repeats}
     # host-delivery path: full fakes fetched to numpy (transfer-bound over
     # the tunnel — both paths pay the same ~150 MB device->host)
-    for label, scan in (("per_call_fetch", False), ("scan_fetch", True)):
+    for label, scan, host_dtype in (
+            ("per_call_fetch", False, None), ("scan_fetch", True, None),
+            ("scan_fetch_f16", True, np.float16)):
         def call():
             res = eng.generate_samples_all(state, key, batches,
-                                           num_repeats=num_repeats, scan=scan)
+                                           num_repeats=num_repeats, scan=scan,
+                                           host_dtype=host_dtype)
             assert res["fake"].shape[0] == n_profiles
         call()  # compile + warm
         sec = _timed(call, n_calls=3)

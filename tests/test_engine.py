@@ -116,6 +116,33 @@ def test_generate_samples_all_scan_matches_percall(tiny_data, make_tiny_cfg):
     np.testing.assert_array_equal(a["site"], b["site"])
 
 
+def test_generate_samples_all_host_dtype(tiny_data, make_tiny_cfg):
+    """host_dtype=f16 delivers the same samples as the f32 path cast to f16
+    (the cast happens on device, before the wire) on both the per-call and
+    scan paths, incl. the ragged tail; real/fake dtypes follow it."""
+    cfg = make_tiny_cfg("film_cross_attention")
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    loader = Batches(tiny_data, batch_size=7, seed=0, shuffle=False,
+                     drop_remainder=False)
+    state = eng.init_state(0, next(iter(loader.epoch(0))))
+    key = jax.random.key(5)
+    for scan in (False, True):
+        # compare against the SAME path in f32: scan and per-call only agree
+        # to ~1e-5 in f32, which can straddle an f16 rounding boundary
+        full = eng.generate_samples_all(state, key, loader.epoch(0),
+                                        num_repeats=2, scan=scan)
+        half = eng.generate_samples_all(state, key, loader.epoch(0),
+                                        num_repeats=2, scan=scan,
+                                        host_dtype=np.float16)
+        assert half["fake"].dtype == np.float16
+        assert half["real"].dtype == np.float16
+        np.testing.assert_array_equal(
+            half["fake"], full["fake"].astype(np.float16))
+        np.testing.assert_array_equal(
+            half["real"], full["real"].astype(np.float16))
+        np.testing.assert_array_equal(half["disease"], full["disease"])
+
+
 def test_generate_samples_all_scan_unconditional(tiny_data, make_tiny_cfg):
     cfg = make_tiny_cfg("vanilla")
     eng = WGANGPEngine(cfg, steps_per_epoch=2)
