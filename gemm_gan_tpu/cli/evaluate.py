@@ -19,6 +19,15 @@ def main(argv=None):
     p.add_argument("--results_path", required=True)
     p.add_argument("--train_real", help="npy of train-real expressions (for privacy)")
     p.add_argument("--skip_utility", action="store_true")
+    p.add_argument("--plots", action="store_true",
+                   help="write the reference's post-hoc figures per test_* "
+                        "dir (<dir>/figures/): real-vs-gen embedding panels, "
+                        "top-variance gene distributions, gene-gene "
+                        "correlation-distance matrices")
+    p.add_argument("--plot_genes", type=int, default=500,
+                   help="cap on genes entering the [G,G] correlation-"
+                        "distance figure (top variance; full TCGA would be "
+                        "a 18,868^2 matrix)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -55,6 +64,31 @@ def main(argv=None):
             gen = np.load(os.path.join(d, "data_gen.npy"))
             rec["dcr"] = dcr(train_real, gen, test_real)
             rec["nndr"] = nndr(train_real, gen, test_real)
+        if args.plots:
+            # post-hoc figure set (parity: the reference's visualization.py
+            # helpers, driven manually there; plot_umaps call sites are
+            # commented out in its trainers)
+            from gemm_gan_tpu.viz import (plot_distance_matrices,
+                                          plot_embedding_panels,
+                                          plot_gene_distributions)
+
+            fig_dir = os.path.join(d, "figures")
+            os.makedirs(fig_dir, exist_ok=True)
+            labels_path = os.path.join(d, "test_labels_real.npy")
+            labels = np.load(labels_path) if os.path.exists(labels_path) \
+                else None
+            plot_embedding_panels(
+                test_real, test_gen, labels=labels,
+                out_path=os.path.join(fig_dir, "embedding_panels.png"))
+            var_order = np.argsort(test_real.var(axis=0))[::-1]
+            plot_gene_distributions(
+                test_real, test_gen, gene_idx=var_order[:6].tolist(),
+                out_path=os.path.join(fig_dir, "gene_distributions.png"))
+            top = np.sort(var_order[:args.plot_genes])
+            plot_distance_matrices(
+                test_real[:, top], test_gen[:, top],
+                out_path=os.path.join(fig_dir, "corr_distance_matrices.png"))
+            rec["figures"] = fig_dir
         per_run.append(rec)
     out["per_run"] = per_run
 

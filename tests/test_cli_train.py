@@ -153,3 +153,34 @@ def test_cli_sample_restores_saved_config(data_dir, tmp_path):
     gen = np.load(gen_path)
     assert gen.ndim == 2
     assert np.isfinite(gen).all()
+
+
+def test_cli_evaluate_plots(tmp_path):
+    """cli.evaluate --plots writes the post-hoc figure set per test_* dir
+    (embedding panels, gene distributions, correlation-distance matrices)
+    alongside the per-run gamma/distance records."""
+    from gemm_gan_tpu.cli.evaluate import main as eval_main
+    from gemm_gan_tpu.eval.utility import save_run_artifacts
+
+    rng = np.random.RandomState(3)
+    run_dir = str(tmp_path / "res")
+    d = os.path.join(run_dir, "test_0_epoch_2")
+    n, g = 24, 30
+    save_run_artifacts(d, {
+        "data_real": rng.randn(n, g), "data_gen": rng.randn(n, g),
+        "test_real": rng.randn(n, g), "test_gen": rng.randn(n, g),
+        "train_labels_real": rng.randint(0, 3, n),
+        "train_labels_gen": rng.randint(0, 3, n),
+        "test_labels_real": rng.randint(0, 3, n),
+        "test_labels_gen": rng.randint(0, 3, n)})
+    train_real = str(tmp_path / "train_real.npy")
+    np.save(train_real, rng.randn(40, g))
+    res = eval_main(["--results_path", run_dir, "--train_real", train_real,
+                     "--plots", "--plot_genes", "10", "--skip_utility"])
+    run = res["per_run"][0]
+    assert np.isfinite(run["gamma"]) and 0.0 <= run["dcr"] <= 1.0
+    fig_dir = os.path.join(d, "figures")
+    for f in ("embedding_panels.png", "gene_distributions.png",
+              "corr_distance_matrices.png"):
+        path = os.path.join(fig_dir, f)
+        assert os.path.exists(path) and os.path.getsize(path) > 0, f
