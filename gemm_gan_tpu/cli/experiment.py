@@ -86,31 +86,56 @@ class Experiment:
         self.val_metrics_history = []
 
     # ----------------------------------------------------------------- train
-    def fit(self) -> Dict:
+    def fit(self, resume: bool = False) -> Dict:
+        """`resume=True`: continue an interrupted run from the newest full
+        train-state checkpoint under this run dir (params, BOTH optimizer
+        states, EMA, step counter, PRNG key — `train/checkpoint.py`). The
+        continued run is exact: epochs-done is recovered from the saved
+        step counter, both loader types replay epoch e's batch stream from
+        epoch-indexed seeds, and validation keys are epoch-folded. The
+        reference cannot do this at all (only final-epoch G/D state_dicts
+        are saved — SURVEY.md §5). No checkpoint found = fresh start."""
         cfg, t = self.cfg, self.cfg.train
         eng = self.engine
         sample_batch = next(iter(self.loaders["train"].epoch(0)))
         state = eng.init_state(t.seed, sample_batch)
+        # validation/test RNG is folded per epoch, so a resumed run draws
+        # the same eval keys the uninterrupted run would
         key = jax.random.key(t.seed + 1)
 
+        # scan path needs >=1 full batch per epoch; tiny splits take the
+        # per-batch path instead of crashing inside stacked_epoch
+        train = self.loaders["train"]
+        stacked_fn = train.stacked_epoch if train.n_full_batches else None
+        steps_per_epoch = train.n_full_batches if stacked_fn else len(train)
+
+        start_epoch = 0
+        ckpt_dir = os.path.join(self.out_dir, "ckpt")
+        if resume:
+            from gemm_gan_tpu.train.checkpoint import latest_step
+
+            step = latest_step(ckpt_dir)
+            if step is not None:
+                state = restore_state(ckpt_dir, jax.device_get(state))
+                start_epoch = min(int(step) // max(steps_per_epoch, 1),
+                                  t.epochs)
+                # the no-arg per-batch path advances the loader's internal
+                # epoch counter; align it with the resume point
+                train._epoch = start_epoch
+
         def on_epoch_end(engine, state, epoch):
-            nonlocal key
             last = (epoch == t.epochs - 1)
             if (epoch + 1) % t.freq_compute_test == 0 and not last:
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(key, epoch)
                 self._validation_eval(state, sub, epoch)
                 if t.checkpoint_every_eval:
                     save_state(os.path.join(self.out_dir, "ckpt"),
                                jax.device_get(state))
             return None
 
-        # scan path needs >=1 full batch per epoch; tiny splits take the
-        # per-batch path instead of crashing inside stacked_epoch
-        train = self.loaders["train"]
-        stacked_fn = train.stacked_epoch if train.n_full_batches else None
         state = eng.fit(state, t.epochs, lambda: train.epoch(),
                         on_epoch_end=on_epoch_end, logger=self.logger,
-                        stacked_fn=stacked_fn)
+                        stacked_fn=stacked_fn, start_epoch=start_epoch)
         self.state = state
         save_state(os.path.join(self.out_dir, "ckpt"), jax.device_get(state))
         self._plot_val_curves()

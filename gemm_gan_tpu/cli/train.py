@@ -49,6 +49,17 @@ def build_parser():
     p.add_argument("--drift_epsilon", type=float, default=0.0,
                    help="eps-drift critic score anchor for long-horizon runs")
     p.add_argument("--evaluate_only", action="store_true")
+    p.add_argument("--checkpoint_every_eval", action="store_true",
+                   help="save a full train-state checkpoint at every "
+                        "validation epoch, not just at the end (always on "
+                        "for the film_cross_attention preset, parity with "
+                        "conditional_gan_cross_attention_with_film.py:710); "
+                        "what --resume continues from after a crash")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run from the newest full "
+                        "train-state checkpoint in the run dir (exact: "
+                        "optimizer states, EMA, step, PRNG all restore; "
+                        "fresh start if none exists)")
     return p
 
 
@@ -105,6 +116,8 @@ def main(argv=None):
             optimizer=args.optimizer, lr_gen=args.lr, lr_disc=args.lr,
             seed=args.seed, freq_compute_test=args.freq_compute_test,
             cond_embed_reuse=args.cond_embed_reuse,
+            checkpoint_every_eval=(args.checkpoint_every_eval
+                                   or cfg.train.checkpoint_every_eval),
             ema_decay=args.ema_decay, drift_epsilon=args.drift_epsilon),
         # record the resolved data settings: the Experiment's DeviceCache
         # subsamples to cfg.data.num_patches (NOT the load_tcga argument),
@@ -132,7 +145,7 @@ def main(argv=None):
     if args.evaluate_only:
         results = exp.evaluate()
     else:
-        results = exp.fit()
+        results = exp.fit(resume=True) if args.resume else exp.fit()
         # TSTR utility needs label dumps — conditional variants only (the
         # reference runs UtilityEvaluator only in the conditional mains,
         # e.g. conditional_gan_concat.py:1075-1083)

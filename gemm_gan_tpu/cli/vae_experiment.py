@@ -56,7 +56,11 @@ class VAEExperiment:
             out["site"] = np.concatenate(sites)
         return out
 
-    def fit(self) -> Dict:
+    def fit(self, resume: bool = False) -> Dict:
+        """`resume=True` continues from the newest full-state checkpoint in
+        the run dir (fresh start if none) — same exact-resume semantics as
+        `Experiment.fit`. A checkpoint is written every `freq_compute_test`
+        epochs so an interrupted run has something to continue from."""
         t = self.cfg.train
         state = self.engine.init_state(
             t.seed, next(iter(self.loaders["train"].epoch(0))))
@@ -64,10 +68,30 @@ class VAEExperiment:
         # per-batch path instead of crashing inside stacked_epoch
         train = self.loaders["train"]
         stacked_fn = train.stacked_epoch if train.n_full_batches else None
+        steps_per_epoch = train.n_full_batches if stacked_fn else len(train)
+        ckpt_dir = os.path.join(self.out_dir, "ckpt")
+
+        start_epoch = 0
+        if resume:
+            from gemm_gan_tpu.train.checkpoint import latest_step
+
+            step = latest_step(ckpt_dir)
+            if step is not None:
+                state = restore_state(ckpt_dir, jax.device_get(state))
+                start_epoch = min(int(step) // max(steps_per_epoch, 1),
+                                  t.epochs)
+                train._epoch = start_epoch
+
+        def on_epoch_end(engine, state, epoch):
+            if (epoch + 1) % t.freq_compute_test == 0 and epoch != t.epochs - 1:
+                save_state(ckpt_dir, jax.device_get(state))
+
         state = self.engine.fit(state, t.epochs, lambda: train.epoch(),
-                                stacked_fn=stacked_fn, logger=self.logger)
+                                stacked_fn=stacked_fn, logger=self.logger,
+                                on_epoch_end=on_epoch_end,
+                                start_epoch=start_epoch)
         self.state = state
-        save_state(os.path.join(self.out_dir, "ckpt"), jax.device_get(state))
+        save_state(ckpt_dir, jax.device_get(state))
         return self._test_block(state)
 
     def _test_block(self, state) -> Dict:

@@ -96,11 +96,15 @@ class VAEEngine:
                                        for k, v in stacked.items()})
 
     def fit(self, state, epochs: int, batches_fn: Callable[[], Iterable] = None,
-            logger=None, stacked_fn: Callable = None):
+            logger=None, stacked_fn: Callable = None,
+            on_epoch_end: Callable = None, start_epoch: int = 0):
+        """`start_epoch`/`on_epoch_end` mirror `WGANGPEngine.fit`: epochs
+        [start_epoch, epochs) train from a (restored) state, with the epoch
+        callback available for periodic checkpointing."""
         if batches_fn is None and stacked_fn is None:
             raise ValueError("fit() needs batches_fn or stacked_fn")
         history = {"loss": [], "recon": [], "kl": []}
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             last = None
             if stacked_fn is not None:
                 state, last = self.step_many(state, stacked_fn(epoch))
@@ -112,6 +116,8 @@ class VAEEngine:
                     history[k].append(float(last[k]))
                 if logger is not None:
                     logger.log(int(jax.device_get(state.step)), **last)
+            if on_epoch_end is not None:
+                on_epoch_end(self, state, epoch)
         self.history = history
         return state
 

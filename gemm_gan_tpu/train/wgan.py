@@ -478,7 +478,8 @@ class WGANGPEngine:
     def fit(self, state: GANTrainState, epochs: int,
             batches_fn: Callable[[], Iterable[Dict[str, Any]]] = None,
             on_epoch_end: Optional[Callable] = None,
-            logger=None, stacked_fn: Optional[Callable] = None) -> GANTrainState:
+            logger=None, stacked_fn: Optional[Callable] = None,
+            start_epoch: int = 0) -> GANTrainState:
         """Fit loop: jitted fused steps + optional epoch callback.
 
         `stacked_fn(epoch) -> dict of [K, B, ...]` selects the `lax.scan`
@@ -487,11 +488,17 @@ class WGANGPEngine:
         The full reference-parity experiment protocol (periodic detection /
         metric evaluation, npy dumps, checkpoints) lives in
         `gemm_gan_tpu.cli.experiment` and plugs in via `on_epoch_end`.
+
+        `start_epoch` resumes an interrupted run from a restored state:
+        epochs [start_epoch, epochs) are trained, and because both loaders
+        draw epoch `e`'s batch stream from `fold_in`/`RandomState(seed+e)`
+        the continued run sees exactly the batches the uninterrupted run
+        would have (the train-stream PRNG itself rides in `state.key`).
         """
         if batches_fn is None and stacked_fn is None:
             raise ValueError("fit() needs batches_fn or stacked_fn")
         history = {"d_loss": [], "g_loss": []}
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             last_metrics = None
             if stacked_fn is not None:
                 state, last_metrics = self.step_many(state, stacked_fn(epoch))

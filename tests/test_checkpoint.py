@@ -40,3 +40,82 @@ def test_resume_is_exact(tmp_path, tiny_data, make_tiny_cfg):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-6),
         jax.device_get(cont.g_params), jax.device_get(resumed.g_params))
+
+
+def test_experiment_resume_exact(tmp_path, tiny_data, make_tiny_cfg):
+    """Experiment.fit(resume=True) continues an interrupted run to the SAME
+    final train state an uninterrupted run reaches: a 2-epoch run's final
+    checkpoint + 2 resumed epochs must equal 4 straight epochs bitwise
+    (full state: both optimizer states, step, PRNG key)."""
+    import dataclasses
+
+    from gemm_gan_tpu.cli.experiment import Experiment
+
+    def splits():
+        idx = {"train": np.arange(0, 32), "val": np.arange(32, 40),
+               "test": np.arange(40, 48)}
+        out = {s: {"genes": tiny_data["genes"][i]} for s, i in idx.items()}
+        out["meta"] = {"n_genes": 24}
+        return out
+
+    def cfg_for(out_dir, epochs):
+        cfg = make_tiny_cfg("vanilla", train_kw=dict(
+            n_critic=2, epochs=epochs, freq_compute_test=10, batch_size=8))
+        return dataclasses.replace(
+            cfg, output_dir=str(out_dir), run_name="r",
+            eval=dataclasses.replace(cfg.eval, n_runs=1, pca_components=4,
+                                     nearest_k=3))
+
+    straight = Experiment(cfg_for(tmp_path / "a", 4), splits())
+    straight.fit()
+
+    interrupted = Experiment(cfg_for(tmp_path / "b", 2), splits())
+    interrupted.fit()  # final save at step 2*steps_per_epoch
+    resumed = Experiment(cfg_for(tmp_path / "b", 4), splits())
+    resumed.fit(resume=True)
+
+    a = jax.device_get(straight.state)
+    b = jax.device_get(resumed.state)
+    assert int(a.step) == int(b.step)
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), a.g_params, b.g_params)
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), a.d_opt_state, b.d_opt_state)
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(a.key)),
+                                  np.asarray(jax.random.key_data(b.key)))
+
+
+def test_vae_experiment_resume(tmp_path, tiny_data, make_tiny_cfg):
+    """VAEExperiment.fit(resume=True): periodic checkpoints exist mid-run
+    and the resumed final state matches the straight run exactly."""
+    import dataclasses
+
+    from gemm_gan_tpu.cli.vae_experiment import VAEExperiment
+
+    def splits():
+        idx = {"train": np.arange(0, 32), "test": np.arange(40, 48)}
+        out = {s: {"genes": tiny_data["genes"][i]} for s, i in idx.items()}
+        out["meta"] = {"n_genes": 24}
+        return out
+
+    def cfg_for(out_dir, epochs):
+        cfg = make_tiny_cfg("vae", train_kw=dict(
+            epochs=epochs, freq_compute_test=2, batch_size=8))
+        return dataclasses.replace(
+            cfg, output_dir=str(out_dir), run_name="v",
+            eval=dataclasses.replace(cfg.eval, n_runs=1, pca_components=4,
+                                     nearest_k=3))
+
+    straight = VAEExperiment(cfg_for(tmp_path / "a", 4), splits())
+    straight.fit()
+
+    interrupted = VAEExperiment(cfg_for(tmp_path / "b", 2), splits())
+    interrupted.fit()
+    resumed = VAEExperiment(cfg_for(tmp_path / "b", 4), splits())
+    resumed.fit(resume=True)
+
+    a = jax.device_get(straight.state)
+    b = jax.device_get(resumed.state)
+    assert int(a.step) == int(b.step)
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), a.params, b.params)
