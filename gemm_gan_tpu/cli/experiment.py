@@ -20,6 +20,7 @@ Reproduces the behavior of the reference trainers' `fit`/`evaluate` blocks
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, Optional
 
@@ -112,16 +113,19 @@ class Experiment:
         start_epoch = 0
         ckpt_dir = os.path.join(self.out_dir, "ckpt")
         if resume:
-            from gemm_gan_tpu.train.checkpoint import latest_step
+            from gemm_gan_tpu.train.checkpoint import resume_or_fresh
 
-            step = latest_step(ckpt_dir)
-            if step is not None:
-                state = restore_state(ckpt_dir, jax.device_get(state))
-                start_epoch = min(int(step) // max(steps_per_epoch, 1),
-                                  t.epochs)
-                # the no-arg per-batch path advances the loader's internal
-                # epoch counter; align it with the resume point
-                train._epoch = start_epoch
+            state, start_epoch = resume_or_fresh(
+                ckpt_dir, state, steps_per_epoch, t.epochs, loader=train)
+            if start_epoch:
+                # rehydrate pre-crash validation history so the final
+                # curves/log cover the whole run, not just the resumed tail
+                hist_path = os.path.join(self.out_dir, "val_metrics.json")
+                if os.path.exists(hist_path):
+                    with open(hist_path) as f:
+                        self.val_metrics_history = [
+                            r for r in json.load(f)
+                            if r["epoch"] < start_epoch]
 
         def on_epoch_end(engine, state, epoch):
             last = (epoch == t.epochs - 1)
@@ -129,15 +133,14 @@ class Experiment:
                 sub = jax.random.fold_in(key, epoch)
                 self._validation_eval(state, sub, epoch)
                 if t.checkpoint_every_eval:
-                    save_state(os.path.join(self.out_dir, "ckpt"),
-                               jax.device_get(state))
+                    save_state(ckpt_dir, jax.device_get(state))
             return None
 
         state = eng.fit(state, t.epochs, lambda: train.epoch(),
                         on_epoch_end=on_epoch_end, logger=self.logger,
                         stacked_fn=stacked_fn, start_epoch=start_epoch)
         self.state = state
-        save_state(os.path.join(self.out_dir, "ckpt"), jax.device_get(state))
+        save_state(ckpt_dir, jax.device_get(state))
         self._plot_val_curves()
         results = self._test_block(state)
         return results
@@ -185,6 +188,10 @@ class Experiment:
                                  train_out["real"].shape[0] - 1))
         rec = {"epoch": epoch, "detection": det, "metrics": metrics}
         self.val_metrics_history.append(rec)
+        # persisted after every eval so a resumed run can rehydrate the
+        # pre-crash history (fit(resume=True)) and the curves stay complete
+        with open(os.path.join(self.out_dir, "val_metrics.json"), "w") as f:
+            json.dump(self.val_metrics_history, f, indent=2, default=float)
         det_first = next(iter(det.values()))
         self.logger.log(epoch, val_detection_acc=det_first["accuracy"],
                         val_precision=metrics["precision"],
@@ -326,8 +333,10 @@ class Experiment:
         return {k: (float(np.mean(v)), float(np.std(v)))
                 for k, v in results.items() if v}
 
-    def generate_balanced(self, state, key, num_repeats: int = 1) -> Dict:
-        """Balanced oversampled generation (parity: :453-516)."""
+    def generate_balanced(self, state, key, num_repeats: int = 1,
+                          host_dtype=None) -> Dict:
+        """Balanced oversampled generation (parity: :453-516). `host_dtype`
+        forwards to `generate_samples_all` (device-side cast before fetch)."""
         t, ev = self.cfg.train, self.cfg.eval
         data = self.splits["train"]
         rng = np.random.RandomState(t.seed)
@@ -337,4 +346,5 @@ class Experiment:
                          drop_remainder=False)
         return self.engine.generate_samples_all(state, key, loader.epoch(0),
                                                 num_repeats=num_repeats,
-                                                scan=ev.scan_sampling)
+                                                scan=ev.scan_sampling,
+                                                host_dtype=host_dtype)

@@ -87,9 +87,8 @@ def main(argv=None):
     key = jax.random.key(args.seed)
     host_dtype = np.float16 if args.host_dtype == "float16" else None
     if args.balanced:
-        out = exp.generate_balanced(state, key, num_repeats=args.num_repeats)
-        if host_dtype is not None:
-            out["fake"] = out["fake"].astype(host_dtype)
+        out = exp.generate_balanced(state, key, num_repeats=args.num_repeats,
+                                    host_dtype=host_dtype)
     else:
         out = exp.engine.generate_samples_all(
             state, key, exp.loaders["train"].epoch(0),

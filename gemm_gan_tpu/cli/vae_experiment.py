@@ -73,14 +73,10 @@ class VAEExperiment:
 
         start_epoch = 0
         if resume:
-            from gemm_gan_tpu.train.checkpoint import latest_step
+            from gemm_gan_tpu.train.checkpoint import resume_or_fresh
 
-            step = latest_step(ckpt_dir)
-            if step is not None:
-                state = restore_state(ckpt_dir, jax.device_get(state))
-                start_epoch = min(int(step) // max(steps_per_epoch, 1),
-                                  t.epochs)
-                train._epoch = start_epoch
+            state, start_epoch = resume_or_fresh(
+                ckpt_dir, state, steps_per_epoch, t.epochs, loader=train)
 
         def on_epoch_end(engine, state, epoch):
             if (epoch + 1) % t.freq_compute_test == 0 and epoch != t.epochs - 1:

@@ -111,6 +111,11 @@ class DeviceCache:
         self._assemble = lambda idx, key: jit_one(self.arrays, idx, key)
         self._assemble_many = lambda idx, keys: jit_many(self.arrays, idx, keys)
 
+    def seek(self, epoch: int):
+        """Position the no-arg `epoch()` stream at `epoch` (resume support:
+        the next call yields that epoch's deterministic batch order)."""
+        self._epoch = epoch
+
     def __len__(self):
         if self.drop_remainder:
             return self.n // self.batch_size

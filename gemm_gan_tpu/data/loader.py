@@ -34,6 +34,11 @@ class Batches:
         self.process_count = process_count
         self._epoch = 0
 
+    def seek(self, epoch: int):
+        """Position the no-arg `epoch()` stream at `epoch` (resume support:
+        the next call yields that epoch's deterministic batch order)."""
+        self._epoch = epoch
+
     def __len__(self):
         per_host = self.n // self.process_count
         if self.drop_remainder:

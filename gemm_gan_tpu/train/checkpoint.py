@@ -59,3 +59,27 @@ def latest_step(path: str) -> Optional[int]:
     step = mgr.latest_step()
     mgr.close()
     return step
+
+
+def resume_or_fresh(ckpt_dir: str, template_state: Any, steps_per_epoch: int,
+                    epochs: int, loader=None):
+    """Shared experiment-resume protocol: restore the newest checkpoint into
+    `template_state`'s structure and recover epochs-done from its step
+    counter; position `loader`'s no-arg epoch stream there. Returns
+    `(state, start_epoch)` — `(template_state, 0)` with a WARNING if no
+    checkpoint exists (periodic mid-run saves require
+    `train.checkpoint_every_eval`; otherwise only a completed run's final
+    save is available to continue from)."""
+    import logging
+
+    step = latest_step(ckpt_dir)
+    if step is None:
+        logging.getLogger(__name__).warning(
+            "resume requested but no checkpoint under %s — starting fresh "
+            "(mid-run checkpoints need train.checkpoint_every_eval)", ckpt_dir)
+        return template_state, 0
+    state = restore_state(ckpt_dir, jax.device_get(template_state))
+    start_epoch = min(int(step) // max(steps_per_epoch, 1), epochs)
+    if loader is not None:
+        loader.seek(start_epoch)
+    return state, start_epoch

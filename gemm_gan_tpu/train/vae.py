@@ -117,7 +117,11 @@ class VAEEngine:
                 if logger is not None:
                     logger.log(int(jax.device_get(state.step)), **last)
             if on_epoch_end is not None:
-                on_epoch_end(self, state, epoch)
+                # same contract as WGANGPEngine.fit: a non-None return
+                # becomes the new state
+                maybe = on_epoch_end(self, state, epoch)
+                if maybe is not None:
+                    state = maybe
         self.history = history
         return state
 

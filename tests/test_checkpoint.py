@@ -1,6 +1,8 @@
 """Full-state checkpoint round-trip and mid-training resume — a capability
 the reference lacks entirely (SURVEY.md §5: only final-epoch state_dicts)."""
 
+import os
+
 import jax
 import numpy as np
 
@@ -60,7 +62,8 @@ def test_experiment_resume_exact(tmp_path, tiny_data, make_tiny_cfg):
 
     def cfg_for(out_dir, epochs):
         cfg = make_tiny_cfg("vanilla", train_kw=dict(
-            n_critic=2, epochs=epochs, freq_compute_test=10, batch_size=8))
+            n_critic=2, epochs=epochs, freq_compute_test=1, batch_size=8,
+            checkpoint_every_eval=True))
         return dataclasses.replace(
             cfg, output_dir=str(out_dir), run_name="r",
             eval=dataclasses.replace(cfg.eval, n_runs=1, pca_components=4,
@@ -73,6 +76,13 @@ def test_experiment_resume_exact(tmp_path, tiny_data, make_tiny_cfg):
     interrupted.fit()  # final save at step 2*steps_per_epoch
     resumed = Experiment(cfg_for(tmp_path / "b", 4), splits())
     resumed.fit(resume=True)
+
+    # pre-crash validation history rehydrates from val_metrics.json: the
+    # resumed run's curves cover epoch 0 (pre-resume) AND epoch 2 (post)
+    import json as _json
+    with open(os.path.join(str(tmp_path / "b"), "r", "val_metrics.json")) as f:
+        epochs_logged = [r["epoch"] for r in _json.load(f)]
+    assert epochs_logged == [0, 2]
 
     a = jax.device_get(straight.state)
     b = jax.device_get(resumed.state)
