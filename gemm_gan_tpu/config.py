@@ -121,6 +121,15 @@ class TrainConfig:
     #   fusion.dropout == 0; with dropout > 0 it shares one dropout draw
     #   across the scores inside an update (tests/test_engine.py).
     cond_embed_reuse: str = "per_call"  # per_call | per_update
+    # Roll the n_critic critic updates into a `lax.scan` instead of Python
+    # unrolling (beyond reference; numerics identical — same ops, same key
+    # order, the loop body is traced once instead of n_critic times). The
+    # fused step's traced program shrinks ~(n_critic-1)/n_critic on the
+    # critic side, cutting XLA compile time — the dominant workflow cost on
+    # a remote-compile backend (3-25 min per program, CLAUDE.md). Off by
+    # default: the unrolled body lets XLA overlap/schedule across critic
+    # iterations, which can be marginally faster at steady state.
+    critic_scan: bool = False
     # EMA of generator params for sampling (beyond reference, off by
     # default). Standard GAN practice (e.g. Karras et al.): sampling from
     # the averaged generator reduces step-to-step oscillation. When > 0,

@@ -223,9 +223,23 @@ class WGANGPEngine:
                     {"params": state.g_params}, cond, deterministic=False,
                     rngs={"dropout": keys[t.n_critic + 1]},
                     method="embed_cond"))
-            d_aux = None
-            for i in range(t.n_critic):
-                state, d_aux = critic_update(state, real, cond, keys[i], g_cvec)
+            if t.critic_scan and t.n_critic > 1:
+                # same body, same keys, same order as the unrolled loop —
+                # traced once and iterated by XLA, so the compiled program
+                # is ~n_critic times smaller on the critic side (config
+                # `critic_scan` docstring). `keys` is a key array; slicing
+                # it yields the scan's per-iteration xs.
+                def critic_body(st, k):
+                    return critic_update(st, real, cond, k, g_cvec)
+
+                state, d_auxs = jax.lax.scan(
+                    critic_body, state, keys[:t.n_critic])
+                d_aux = jax.tree.map(lambda a: a[-1], d_auxs)
+            else:
+                d_aux = None
+                for i in range(t.n_critic):
+                    state, d_aux = critic_update(
+                        state, real, cond, keys[i], g_cvec)
             state, gl = gen_update(state, real, cond, keys[t.n_critic])
             if state.g_ema is not None:
                 d = t.ema_decay

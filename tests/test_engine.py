@@ -183,6 +183,34 @@ def test_step_many_matches_sequential(tiny_data, make_tiny_cfg):
         np.asarray(a), np.asarray(b)), s1.g_params, s2.g_params)
 
 
+@pytest.mark.parametrize("variant,reuse", [("vanilla", "per_call"),
+                                           ("film", "per_update")])
+def test_critic_scan_matches_unrolled(variant, reuse, tiny_data, make_tiny_cfg):
+    """`train.critic_scan` rolls the n_critic critic updates into a
+    `lax.scan`; same body, same key order, so params and metrics must match
+    the unrolled path (tight allclose — scan changes XLA scheduling only)."""
+    def run(critic_scan):
+        cfg = make_tiny_cfg(variant, train_kw=dict(
+            n_critic=2, critic_scan=critic_scan, cond_embed_reuse=reuse))
+        eng = WGANGPEngine(cfg, steps_per_epoch=2)
+        loader = Batches(tiny_data, batch_size=8, seed=0, shuffle=False)
+        batch = next(iter(loader))
+        state = eng.init_state(0, batch)
+        state, m = eng.step(state, batch)
+        return (jax.tree.map(np.asarray, jax.device_get(state.d_params)),
+                jax.tree.map(np.asarray, jax.device_get(state.g_params)),
+                {k: float(v) for k, v in m.items()})
+
+    d_u, g_u, m_u = run(False)
+    d_s, g_s, m_s = run(True)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6,
+                                                         atol=1e-7), d_u, d_s)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6,
+                                                         atol=1e-7), g_u, g_s)
+    for k in m_u:
+        np.testing.assert_allclose(m_u[k], m_s[k], rtol=1e-5, err_msg=k)
+
+
 def test_gp_cond_embed_hoist_is_exact(tiny_data, make_tiny_cfg):
     """The engine computes the critic's condition embedding ONCE outside the
     gradient-penalty inner grad (train/wgan.py). Because the penalty
