@@ -80,22 +80,52 @@ def retrieval_accuracy(gen_embeddings, gen_labels, real_labels,
 
 
 class PrivacyEvaluator:
-    """Directory-scanning DCR/NNDR evaluator over test_* dumps (parity:
-    privacy_evaluator.py:126-188)."""
+    """Directory-scanning privacy evaluator over test_* dumps.
+
+    Two reporting flavors, both from the reference:
+
+      * `dcr_mean` / `nndr_mean` — the class-based evaluator's semantics
+        (privacy_evaluator.py:126-188): the MEAN 1-NN L2 distance of
+        generated to the dir's `data_real` (absolute memorization proxy;
+        smaller = closer to the training sample) and the mean 1st/2nd-NN
+        distance ratio against the same reference (→1 = generated points
+        sit as close to their nearest real neighbour as that neighbour's
+        own runner-up — memorization signal).
+      * `dcr` / `nndr` — the function-level comparative shares vs the
+        dir's `test_real` held-out set (privacy_evaluator.py:9-66), the
+        flavor the reference entry points report
+        (conditional_gan_concat.py:1096-1110).
+
+    `train_real` optionally overrides the per-dir `data_real` as the real
+    reference (the dumps' `data_real` IS the train-split real sample).
+    """
 
     def __init__(self, results_path: str):
         import glob
         import os
 
         self.results_dirs = sorted(glob.glob(os.path.join(results_path, "test_*")))
+        self.scores: dict = {}
 
-    def evaluate(self, train_real: np.ndarray) -> dict:
+    def evaluate(self, train_real: np.ndarray = None) -> dict:
         import os
 
-        out = {"dcr": [], "nndr": []}
+        out = {"dcr": [], "nndr": [], "dcr_mean": [], "nndr_mean": []}
         for d in self.results_dirs:
             gen = np.load(os.path.join(d, "data_gen.npy"))
             test_real = np.load(os.path.join(d, "test_real.npy"))
-            out["dcr"].append(dcr(train_real, gen, test_real))
-            out["nndr"].append(nndr(train_real, gen, test_real))
-        return {k: (float(np.mean(v)), float(np.std(v))) for k, v in out.items() if v}
+            real = (train_real if train_real is not None
+                    else np.load(os.path.join(d, "data_real.npy")))
+            out["dcr"].append(dcr(real, gen, test_real))
+            out["nndr"].append(nndr(real, gen, test_real))
+            out["dcr_mean"].append(float(jnp.mean(_min_dists(gen, real))))
+            out["nndr_mean"].append(float(jnp.mean(_nndr_ratio(gen, real))))
+        self.scores = {k: (float(np.mean(v)), float(np.std(v)))
+                       for k, v in out.items() if v}
+        return self.scores
+
+    def report(self) -> dict:
+        """Print mean±std per metric (parity: privacy_evaluator.py:186-188)."""
+        for k, (m, s) in self.scores.items():
+            print(f"{k}: {m:.4f} ± {s:.4f}")
+        return self.scores

@@ -49,3 +49,38 @@ def test_retrieval_accuracy_perfect_alignment(rng):
     patches = [emb[i:i + 1] for i in range(n)]  # one patch per case
     acc_img, acc_txt = retrieval_accuracy(emb, labels, labels, patches, emb)
     assert acc_img == 1.0 and acc_txt == 1.0
+
+
+def test_privacy_evaluator_directory_scan(rng, tmp_path):
+    """PrivacyEvaluator reports both reference flavors per test_* dir: the
+    comparative shares (privacy_evaluator.py:9-66, what the entry points
+    print) and the class-based mean-distance scores (:137-174)."""
+    from gemm_gan_tpu.eval.privacy import PrivacyEvaluator
+
+    real = rng.randn(30, 5).astype(np.float32)
+    test = rng.randn(20, 5).astype(np.float32)
+    gens = []
+    for i in range(2):
+        d = tmp_path / f"test_{i}_epoch_9"
+        d.mkdir()
+        gen = rng.randn(15, 5).astype(np.float32)
+        gens.append(gen)
+        np.save(d / "data_real.npy", real)
+        np.save(d / "data_gen.npy", gen)
+        np.save(d / "test_real.npy", test)
+
+    ev = PrivacyEvaluator(str(tmp_path))
+    assert len(ev.results_dirs) == 2
+    scores = ev.evaluate()
+    assert set(scores) == {"dcr", "nndr", "dcr_mean", "nndr_mean"}
+
+    def per_dir(gen):
+        d1 = np.sort(np.sqrt(((gen[:, None] - real) ** 2).sum(2)), axis=1)
+        return (_dcr_np(real, gen, test), _nndr_np(real, gen, test),
+                d1[:, 0].mean(), (d1[:, 0] / d1[:, 1]).mean())
+
+    golden = np.array([per_dir(g) for g in gens])  # [2, 4]
+    for j, k in enumerate(["dcr", "nndr", "dcr_mean", "nndr_mean"]):
+        np.testing.assert_allclose(scores[k][0], golden[:, j].mean(), rtol=1e-5)
+        np.testing.assert_allclose(scores[k][1], golden[:, j].std(), rtol=1e-5)
+    assert ev.report() == scores
