@@ -87,7 +87,8 @@ class Experiment:
         self.val_metrics_history = []
 
     # ----------------------------------------------------------------- train
-    def fit(self, resume: bool = False) -> Dict:
+    def fit(self, resume: bool = False, profile_dir: str = None,
+            profile_epochs: int = 1) -> Dict:
         """`resume=True`: continue an interrupted run from the newest full
         train-state checkpoint under this run dir (params, BOTH optimizer
         states, EMA, step counter, PRNG key — `train/checkpoint.py`). The
@@ -95,7 +96,15 @@ class Experiment:
         step counter, both loader types replay epoch e's batch stream from
         epoch-indexed seeds, and validation keys are epoch-folded. The
         reference cannot do this at all (only final-epoch G/D state_dicts
-        are saved — SURVEY.md §5). No checkpoint found = fresh start."""
+        are saved — SURVEY.md §5). No checkpoint found = fresh start.
+
+        `profile_dir`: capture a `jax.profiler` trace of `profile_epochs`
+        steady-state training epochs — the window opens after the FIRST
+        epoch of this call (its XLA compiles excluded), so it needs >=2
+        epochs to produce a trace. Aggregate the result with
+        `utils.metrics.aggregate_device_trace` (the `cli.train
+        --profile_dir` path prints the tables). Beyond reference: the
+        reference has no profiling story (SURVEY.md §5)."""
         cfg, t = self.cfg, self.cfg.train
         eng = self.engine
         sample_batch = next(iter(self.loaders["train"].epoch(0)))
@@ -127,7 +136,19 @@ class Experiment:
                             r for r in json.load(f)
                             if r["epoch"] < start_epoch]
 
+        prof = {"on": False, "first": None}
+
         def on_epoch_end(engine, state, epoch):
+            if profile_dir is not None:
+                if prof["first"] is None:
+                    # first completed epoch of this call: compiles are done,
+                    # open the steady-state window
+                    prof["first"] = epoch
+                    jax.profiler.start_trace(profile_dir)
+                    prof["on"] = True
+                elif prof["on"] and epoch >= prof["first"] + profile_epochs:
+                    jax.profiler.stop_trace()
+                    prof["on"] = False
             last = (epoch == t.epochs - 1)
             if (epoch + 1) % t.freq_compute_test == 0 and not last:
                 sub = jax.random.fold_in(key, epoch)
@@ -136,9 +157,13 @@ class Experiment:
                     save_state(ckpt_dir, jax.device_get(state))
             return None
 
-        state = eng.fit(state, t.epochs, lambda: train.epoch(),
-                        on_epoch_end=on_epoch_end, logger=self.logger,
-                        stacked_fn=stacked_fn, start_epoch=start_epoch)
+        try:
+            state = eng.fit(state, t.epochs, lambda: train.epoch(),
+                            on_epoch_end=on_epoch_end, logger=self.logger,
+                            stacked_fn=stacked_fn, start_epoch=start_epoch)
+        finally:
+            if prof["on"]:
+                jax.profiler.stop_trace()
         self.state = state
         save_state(ckpt_dir, jax.device_get(state))
         self._plot_val_curves()

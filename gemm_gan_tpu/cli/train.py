@@ -52,6 +52,13 @@ def build_parser():
                    help="lax.scan the n_critic critic updates instead of "
                         "unrolling: same numerics, ~n_critic-x smaller XLA "
                         "program (faster compiles)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of steady-state "
+                        "training epochs (window opens after the first "
+                        "epoch, so compiles are excluded; needs epochs >= 2) "
+                        "and print device-time tables from it")
+    p.add_argument("--profile_epochs", type=int, default=1,
+                   help="how many epochs the --profile_dir trace covers")
     p.add_argument("--evaluate_only", action="store_true")
     p.add_argument("--checkpoint_every_eval", action="store_true",
                    help="save a full train-state checkpoint at every "
@@ -150,7 +157,23 @@ def main(argv=None):
     if args.evaluate_only:
         results = exp.evaluate()
     else:
-        results = exp.fit(resume=True) if args.resume else exp.fit()
+        fit_kw = {}
+        if args.profile_dir and args.variant not in ("vae", "cvae"):
+            fit_kw = dict(profile_dir=args.profile_dir,
+                          profile_epochs=args.profile_epochs)
+        results = exp.fit(resume=args.resume, **fit_kw)
+        if fit_kw:
+            from gemm_gan_tpu.utils.metrics import (aggregate_device_trace,
+                                                    format_device_table)
+
+            try:
+                agg = aggregate_device_trace(args.profile_dir)
+                for title, k in (("by HLO category", "by_category"),
+                                 ("by source line", "by_source")):
+                    print(format_device_table(agg[k], f"{title} (total ms)"))
+            except FileNotFoundError:
+                print(f"no trace captured under {args.profile_dir} "
+                      "(needs epochs >= 2)")
         # TSTR utility needs label dumps — conditional variants only (the
         # reference runs UtilityEvaluator only in the conditional mains,
         # e.g. conditional_gan_concat.py:1075-1083)

@@ -235,7 +235,15 @@ def _prep(q, k, v, kv_mask, block_q, block_k):
     if kv_mask is None:
         kv_mask = jnp.ones((B, Lk), dtype=bool)
     bq = min(block_q, -(-Lq // 8) * 8)
-    bk = min(block_k, -(-Lk // 128) * 128)
+    # Single-pass k axis whenever the whole (128-aligned) k length fits one
+    # block of <= max(block_k, 512): rounding Lk up to a multiple of block_k
+    # otherwise wastes real work at short-but-not-tiny lengths (canonical
+    # 257 patch tokens -> padded 512, 2x the k-axis FLOPs; measured in the
+    # step profile, scripts/probe_profile_step.py), and a single k block
+    # also skips every online-softmax rescale revisit. Long sequences keep
+    # the tuned block_k pipeline.
+    bk_single = -(-Lk // 128) * 128
+    bk = bk_single if bk_single <= max(block_k, 512) else block_k
     Lq_p = -(-Lq // bq) * bq
     Lk_p = -(-Lk // bk) * bk
     qp = _pad_to(q, Lq_p, 2).reshape(B * H, Lq_p, D)

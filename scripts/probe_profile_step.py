@@ -14,13 +14,9 @@ Usage: python scripts/probe_profile_step.py [--steps 20] [--tiny]
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import sys
 import time
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -56,62 +52,6 @@ def build_engine(tiny: bool):
     return eng, batch
 
 
-def aggregate_trace(out_dir: str):
-    """Aggregate the newest trace's device 'XLA Ops' row.
-
-    Returns (by_category, by_source, by_op, module_us, path) where the three
-    aggregates map key -> [total_us, count, flops, bytes]. `by_source` keys
-    are the Python `source` locations XLA recorded per HLO op — the
-    actionable view (which line of model code costs what).
-    """
-    paths = sorted(glob.glob(os.path.join(
-        out_dir, "plugins", "profile", "*", "*.trace.json.gz")),
-        key=os.path.getmtime)
-    if not paths:
-        raise SystemExit(f"no trace.json.gz found under {out_dir}")
-    with gzip.open(paths[-1]) as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    pid_names = {e["pid"]: e["args"]["name"] for e in events
-                 if e.get("ph") == "M" and e.get("name") == "process_name"}
-    tid_names = {(e["pid"], e["tid"]): e["args"]["name"] for e in events
-                 if e.get("ph") == "M" and e.get("name") == "thread_name"}
-    device_pids = {p for p, n in pid_names.items() if "TPU" in n or "tpu" in n}
-    op_rows = {k for k, n in tid_names.items()
-               if k[0] in device_pids and n == "XLA Ops"}
-    module_rows = {k for k, n in tid_names.items()
-                   if k[0] in device_pids and n == "XLA Modules"}
-
-    def bucket():
-        return [0.0, 0, 0.0, 0.0]  # us, count, flops, bytes
-
-    by_cat = defaultdict(bucket)
-    by_src = defaultdict(bucket)
-    by_op = defaultdict(bucket)
-    module_us = 0.0
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        k = (e.get("pid"), e.get("tid"))
-        if k in module_rows:
-            module_us += float(e.get("dur", 0.0))
-        if k not in op_rows:
-            continue
-        a = e.get("args", {})
-        dur = float(e.get("dur", 0.0))
-        flops = float(a.get("model_flops", 0) or 0)
-        nbytes = float(a.get("bytes_accessed", 0) or 0)
-        src = a.get("source", "?")
-        # keep the last two path segments of the source location
-        src = "/".join(src.split("/")[-2:]) if src != "?" else "?"
-        for agg, key in ((by_cat, a.get("hlo_category", "?")),
-                         (by_src, src), (by_op, e.get("name", "?"))):
-            b = agg[key]
-            b[0] += dur
-            b[1] += 1
-            b[2] += flops
-            b[3] += nbytes
-    return by_cat, by_src, by_op, module_us, paths[-1]
 
 
 def main():
@@ -173,29 +113,20 @@ def main():
     print(f"traced {args.steps} steps in {wall:.3f}s wall "
           f"({args.steps / wall:.1f} steps/s)", flush=True)
 
-    by_cat, by_src, by_op, module_us, path = aggregate_trace(args.out)
-    total_us = sum(v[0] for v in by_cat.values())
-    print(f"\ntrace: {path}")
+    from gemm_gan_tpu.utils.metrics import (aggregate_device_trace,
+                                            format_device_table)
+
+    agg = aggregate_device_trace(args.out)
+    total_us = sum(v[0] for v in agg["by_category"].values())
+    print(f"\ntrace: {agg['trace_path']}")
     print(f"device op time: {total_us / 1e3:.2f} ms total, "
           f"{total_us / 1e3 / args.steps:.3f} ms/step "
-          f"(module row: {module_us / 1e3 / args.steps:.3f} ms/step)")
-
-    def table(title, agg, topk):
-        print(f"\n-- {title} "
-              f"{'':<36}{'ms/step':>9}{'count':>8}{'GFLOP/s':>9}{'GB/s':>8}")
-        rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
-        for name, (us, cnt, fl, by) in rows[:topk]:
-            gfs = fl / us / 1e3 if us else 0.0
-            gbs = by / us / 1e3 if us else 0.0
-            print(f"{name[:44]:<48}{us / 1e3 / args.steps:>9.3f}{cnt:>8}"
-                  f"{gfs:>9.1f}{gbs:>8.1f}")
-        rest = sum(v[0] for _, v in rows[topk:])
-        if rest:
-            print(f"{'(rest)':<48}{rest / 1e3 / args.steps:>9.3f}")
-
-    table("by HLO category", by_cat, args.topk)
-    table("by source line", by_src, args.topk)
-    table("by op", by_op, min(args.topk, 15))
+          f"(module row: {agg['module_us'] / 1e3 / args.steps:.3f} ms/step)")
+    for title, key, k in (("by HLO category (ms/step)", "by_category", args.topk),
+                          ("by source line (ms/step)", "by_source", args.topk),
+                          ("by op (ms/step)", "by_op", min(args.topk, 15))):
+        print()
+        print(format_device_table(agg[key], title, topk=k, per=args.steps))
 
 
 if __name__ == "__main__":

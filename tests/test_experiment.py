@@ -162,3 +162,31 @@ def test_on_device_validation_proxy(tmp_path):
     for k in ("precision", "recall", "density", "coverage"):
         assert np.isfinite(rec["metrics"][k])
     assert os.path.exists(os.path.join(exp.out_dir, "validation_metrics.png"))
+
+
+def test_fit_profile_window_writes_trace(tmp_path):
+    """`fit(profile_dir=...)` captures a steady-state trace (window opens
+    after the first epoch, so compiles are excluded) and
+    `aggregate_device_trace` parses it (beyond reference — SURVEY §5 lists
+    profiling as absent there)."""
+    from tests.conftest import tiny_cfg
+
+    from gemm_gan_tpu.utils.metrics import aggregate_device_trace
+
+    tiny_data = synthetic_dataset(n=48, n_genes=24, seed=1)
+    splits = {s: {"genes": tiny_data["genes"][i]} for s, i in
+              {"train": np.arange(0, 32), "val": np.arange(32, 40),
+               "test": np.arange(40, 48)}.items()}
+    splits["meta"] = {"n_genes": 24}
+    cfg = tiny_cfg("vanilla", train_kw=dict(
+        n_critic=2, epochs=3, freq_compute_test=10, batch_size=8))
+    cfg = dataclasses.replace(
+        cfg, output_dir=str(tmp_path), run_name="p",
+        eval=dataclasses.replace(cfg.eval, n_runs=1, pca_components=4,
+                                 nearest_k=3))
+    prof_dir = str(tmp_path / "prof")
+    exp = Experiment(cfg, splits)
+    exp.fit(profile_dir=prof_dir, profile_epochs=1)
+    agg = aggregate_device_trace(prof_dir)  # raises FileNotFoundError if none
+    assert os.path.exists(agg["trace_path"])
+    assert "by_source" in agg and "by_category" in agg

@@ -38,7 +38,8 @@ def test_reference_matches_softmax(rng):
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("Lq,Lk", [(16, 24), (128, 128), (130, 260)])
+@pytest.mark.parametrize("Lq,Lk", [(16, 24), (128, 128), (130, 260),
+                                   (136, 600)])
 def test_flash_kernel_matches_reference_interpret(rng, Lq, Lk, monkeypatch):
     """Run the Pallas kernel in interpreter mode (no TPU in CI) and compare."""
     monkeypatch.setattr(fa, "_INTERPRET", True)
@@ -49,7 +50,7 @@ def test_flash_kernel_matches_reference_interpret(rng, Lq, Lk, monkeypatch):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("Lq,Lk", [(16, 24), (130, 260)])
+@pytest.mark.parametrize("Lq,Lk", [(16, 24), (130, 260), (136, 600)])
 def test_flash_backward_matches_reference_interpret(rng, Lq, Lk, monkeypatch):
     """Custom-VJP flash gradients (dq, dk, dv) vs autodiff of the reference."""
     monkeypatch.setattr(fa, "_INTERPRET", True)

@@ -81,6 +81,11 @@ def test_privacy_evaluator_directory_scan(rng, tmp_path):
 
     golden = np.array([per_dir(g) for g in gens])  # [2, 4]
     for j, k in enumerate(["dcr", "nndr", "dcr_mean", "nndr_mean"]):
-        np.testing.assert_allclose(scores[k][0], golden[:, j].mean(), rtol=1e-5)
-        np.testing.assert_allclose(scores[k][1], golden[:, j].std(), rtol=1e-5)
+        # atol: the f32 device path vs the f64 golden; the per-dir values can
+        # land arbitrarily close together, making a pure-rtol check on their
+        # std amplify f32 rounding without bound
+        np.testing.assert_allclose(scores[k][0], golden[:, j].mean(),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(scores[k][1], golden[:, j].std(),
+                                   rtol=1e-5, atol=1e-5)
     assert ev.report() == scores
