@@ -133,7 +133,7 @@ def torch_baseline_steps_per_sec(n_steps: int = 3) -> float:
 
 # ----------------------------------------------------------------------- jax
 def jax_steps_per_sec(scan_len: int = 100, n_calls: int = 4,
-                      reuse: bool = False) -> float:
+                      reuse: bool = False, dtype: str = "float32") -> float:
     """Production fit path: `lax.scan` of `scan_len` fused steps per device
     program.
 
@@ -150,11 +150,17 @@ def jax_steps_per_sec(scan_len: int = 100, n_calls: int = 4,
     from gemm_gan_tpu.config import variant_config
     from gemm_gan_tpu.train.wgan import WGANGPEngine
 
+    import dataclasses
+
     cfg = variant_config("film_cross_attention", n_genes=N_GENES)
     if reuse:
-        import dataclasses
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, cond_embed_reuse="per_update"))
+    if dtype != "float32":
+        # opt-in probe path (`compute_dtype="bfloat16"`): dense projections on
+        # the bf16 MXU rate; critic head/GP stay f32 by design (models/gan.py)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, compute_dtype=dtype))
     eng = WGANGPEngine(cfg, steps_per_epoch=100)
     rng = np.random.RandomState(0)
     batch = _batch(rng)

@@ -158,7 +158,7 @@ def main(argv=None):
         results = exp.evaluate()
     else:
         fit_kw = {}
-        if args.profile_dir and args.variant not in ("vae", "cvae"):
+        if args.profile_dir:
             fit_kw = dict(profile_dir=args.profile_dir,
                           profile_epochs=args.profile_epochs)
         results = exp.fit(resume=args.resume, **fit_kw)

@@ -56,11 +56,15 @@ class VAEExperiment:
             out["site"] = np.concatenate(sites)
         return out
 
-    def fit(self, resume: bool = False) -> Dict:
+    def fit(self, resume: bool = False, profile_dir: str = None,
+            profile_epochs: int = 1) -> Dict:
         """`resume=True` continues from the newest full-state checkpoint in
         the run dir (fresh start if none) — same exact-resume semantics as
         `Experiment.fit`. A checkpoint is written every `freq_compute_test`
-        epochs so an interrupted run has something to continue from."""
+        epochs so an interrupted run has something to continue from.
+
+        `profile_dir`/`profile_epochs`: steady-state `jax.profiler` window,
+        same semantics as `Experiment.fit` (opens after the first epoch)."""
         t = self.cfg.train
         state = self.engine.init_state(
             t.seed, next(iter(self.loaders["train"].epoch(0))))
@@ -78,14 +82,28 @@ class VAEExperiment:
             state, start_epoch = resume_or_fresh(
                 ckpt_dir, state, steps_per_epoch, t.epochs, loader=train)
 
+        prof = {"on": False, "first": None}
+
         def on_epoch_end(engine, state, epoch):
+            if profile_dir is not None:
+                if prof["first"] is None:
+                    prof["first"] = epoch
+                    jax.profiler.start_trace(profile_dir)
+                    prof["on"] = True
+                elif prof["on"] and epoch >= prof["first"] + profile_epochs:
+                    jax.profiler.stop_trace()
+                    prof["on"] = False
             if (epoch + 1) % t.freq_compute_test == 0 and epoch != t.epochs - 1:
                 save_state(ckpt_dir, jax.device_get(state))
 
-        state = self.engine.fit(state, t.epochs, lambda: train.epoch(),
-                                stacked_fn=stacked_fn, logger=self.logger,
-                                on_epoch_end=on_epoch_end,
-                                start_epoch=start_epoch)
+        try:
+            state = self.engine.fit(state, t.epochs, lambda: train.epoch(),
+                                    stacked_fn=stacked_fn, logger=self.logger,
+                                    on_epoch_end=on_epoch_end,
+                                    start_epoch=start_epoch)
+        finally:
+            if prof["on"]:
+                jax.profiler.stop_trace()
         self.state = state
         save_state(ckpt_dir, jax.device_get(state))
         return self._test_block(state)

@@ -175,6 +175,47 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = acc_scratch[:].astype(dq_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, dk_ref, dv_ref, *, scale, mxu_bf16):
+    """Single-launch backward for the single-block case (n_q == n_k == 1).
+
+    When the whole (padded) sequence fits one (bq, bk) block — every
+    canonical-shape attention after the single-pass-k blocking — the split
+    dQ/dKV kernels would recompute the same s/p block twice and pay two
+    kernel launches. Here one grid step computes dq, dk, dv from one
+    softmax reconstruction. No scratch: nothing accumulates across grid.
+    """
+    q = _mxu_in(q_ref[0], mxu_bf16)                   # [bq, D]
+    k = _mxu_in(k_ref[0], mxu_bf16)                   # [bk, D]
+    v = _mxu_in(v_ref[0], mxu_bf16)                   # [bk, D]
+    mask = mask_ref[0]                                # [1, bk]
+    do = _mxu_in(do_ref[0], mxu_bf16)                 # [bq, D]
+    lse = lse_ref[0][:, :1]                           # [bq, 1]
+    delta = delta_ref[0][:, :1]                       # [bq, 1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        s = s * scale
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+    p = jnp.where(mask, p, 0.0)                       # [bq, bk]
+    dv_ref[0] = jax.lax.dot_general(
+        _mxu_in(p, mxu_bf16), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)                             # [bq, bk]
+    if scale != 1.0:
+        ds = ds * scale
+    dq_ref[0] = jax.lax.dot(_mxu_in(ds, mxu_bf16), k,
+                            preferred_element_type=jnp.float32
+                            ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        _mxu_in(ds, mxu_bf16), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scratch, dv_scratch, *, scale,
                     num_q_blocks, mxu_bf16):
@@ -322,6 +363,39 @@ def _flash_core_bwd(scale, block_q, block_k, mxu_bf16, res, do):
     BH = B * H
     n_q, n_k = Lq_p // bq, Lk_p // bk
     kw = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
+
+    if n_q == 1 and n_k == 1:
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, scale=scale,
+                              mxu_bf16=mxu_bf16),
+            grid=(BH,),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda bh: (bh, 0, 0), **kw),
+                pl.BlockSpec((1, bk, D), lambda bh: (bh, 0, 0), **kw),
+                pl.BlockSpec((1, bk, D), lambda bh: (bh, 0, 0), **kw),
+                pl.BlockSpec((1, 1, bk), lambda bh, h=H: (bh // h, 0, 0), **kw),
+                pl.BlockSpec((1, bq, D), lambda bh: (bh, 0, 0), **kw),
+                pl.BlockSpec((1, bq, _LANES), lambda bh: (bh, 0, 0), **kw),
+                pl.BlockSpec((1, bq, _LANES), lambda bh: (bh, 0, 0), **kw),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, D), lambda bh: (bh, 0, 0), **kw),
+                pl.BlockSpec((1, bk, D), lambda bh: (bh, 0, 0), **kw),
+                pl.BlockSpec((1, bk, D), lambda bh: (bh, 0, 0), **kw),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BH, Lq_p, D), q.dtype),
+                jax.ShapeDtypeStruct((BH, Lk_p, D), k.dtype),
+                jax.ShapeDtypeStruct((BH, Lk_p, D), v.dtype),
+            ],
+            interpret=_INTERPRET,
+        )(qp, kp, vp, maskp, dop, lse, delta)
+        dq = dq.reshape(B, H, Lq_p, D)[:, :, :Lq, :]
+        dk = dk.reshape(B, H, Lk_p, D)[:, :, :Lk, :]
+        dv = dv.reshape(B, H, Lk_p, D)[:, :, :Lk, :]
+        dmask = (None if kv_mask is None
+                 else np.zeros(kv_mask.shape, dtype=jax.dtypes.float0))
+        return dq, dk, dv, dmask
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, num_k_blocks=n_k,
