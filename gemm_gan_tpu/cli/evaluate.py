@@ -17,7 +17,10 @@ from glob import glob
 def main(argv=None):
     p = argparse.ArgumentParser(description="gemm_gan_tpu post-hoc evaluator")
     p.add_argument("--results_path", required=True)
-    p.add_argument("--train_real", help="npy of train-real expressions (for privacy)")
+    p.add_argument("--train_real",
+                   help="npy of train-real expressions overriding each run "
+                        "dir's data_real.npy as the privacy (dcr/nndr) real "
+                        "reference")
     p.add_argument("--skip_utility", action="store_true")
     p.add_argument("--plots", action="store_true",
                    help="write the reference's post-hoc figures per test_* "
@@ -59,9 +62,14 @@ def main(argv=None):
         rec = {"dir": os.path.basename(d),
                "gamma": float(gamma_coef(test_real, test_gen))}
         rec.update(compute_distribution_distances(test_gen, test_real))
-        if args.train_real:
-            train_real = np.load(args.train_real)
-            gen = np.load(os.path.join(d, "data_gen.npy"))
+        gen_path = os.path.join(d, "data_gen.npy")
+        if args.train_real or os.path.exists(gen_path):
+            # default real reference = the dir's own data_real dump, exactly
+            # what the reference main feeds dcr/nndr
+            # (conditional_gan_concat.py:1090-1102); --train_real overrides
+            gen = np.load(gen_path)
+            train_real = (np.load(args.train_real) if args.train_real
+                          else np.load(os.path.join(d, "data_real.npy")))
             rec["dcr"] = dcr(train_real, gen, test_real)
             rec["nndr"] = nndr(train_real, gen, test_real)
         if args.plots:

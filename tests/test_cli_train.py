@@ -184,3 +184,24 @@ def test_cli_evaluate_plots(tmp_path):
               "corr_distance_matrices.png"):
         path = os.path.join(fig_dir, f)
         assert os.path.exists(path) and os.path.getsize(path) > 0, f
+
+
+def test_cli_evaluate_privacy_defaults_to_dump_data_real(tmp_path):
+    """Without --train_real, cli.evaluate computes dcr/nndr from each run
+    dir's own data_real.npy — exactly what the reference main feeds them
+    (conditional_gan_concat.py:1090-1102)."""
+    from gemm_gan_tpu.cli.evaluate import main as eval_main
+    from gemm_gan_tpu.eval.privacy import dcr
+    from gemm_gan_tpu.eval.utility import save_run_artifacts
+
+    rng = np.random.RandomState(5)
+    run_dir = str(tmp_path / "res")
+    n, g = 20, 12
+    arrays = {
+        "data_real": rng.randn(n, g), "data_gen": rng.randn(n, g),
+        "test_real": rng.randn(n, g), "test_gen": rng.randn(n, g)}
+    save_run_artifacts(os.path.join(run_dir, "test_0_epoch_1"), arrays)
+    res = eval_main(["--results_path", run_dir, "--skip_utility"])
+    run = res["per_run"][0]
+    want = dcr(arrays["data_real"], arrays["data_gen"], arrays["test_real"])
+    assert run["dcr"] == want and 0.0 <= run["nndr"] <= 1.0
