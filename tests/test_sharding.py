@@ -102,3 +102,29 @@ def test_step_many_on_mesh_matches_sequential(tiny_data, make_tiny_cfg):
                                    atol=5e-4, err_msg=k)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-2, atol=5e-4),
                  jax.device_get(s1.g_params), jax.device_get(s2.g_params))
+
+
+def test_sampling_on_mesh_matches_single_device(tiny_data, make_tiny_cfg):
+    """Serving rides the mesh too: `generate_samples` and the scanned
+    `generate_samples_all` path from a DP+TP-sharded state must match the
+    single-device outputs (same keys -> same z draws; only the matmul
+    sharding differs)."""
+    cfg = make_tiny_cfg("film_cross_attention")
+    loader = Batches(tiny_data, batch_size=8, seed=0, shuffle=False)
+    batches = list(loader.epoch(0))
+    key = jax.random.key(3)
+
+    eng1 = WGANGPEngine(cfg, steps_per_epoch=2)
+    s1 = eng1.init_state(0, batches[0])
+    one1 = np.asarray(eng1.generate_samples(s1, key, batches[0]))
+    all1 = eng1.generate_samples_all(s1, key, batches, num_repeats=2, scan=True)
+
+    mesh = make_mesh(data=4, model=2)
+    eng2 = WGANGPEngine(cfg, steps_per_epoch=2, mesh=mesh)
+    s2 = eng2.init_state(0, batches[0])
+    one2 = np.asarray(eng2.generate_samples(s2, key, batches[0]))
+    all2 = eng2.generate_samples_all(s2, key, batches, num_repeats=2, scan=True)
+
+    np.testing.assert_allclose(one1, one2, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(all1["fake"], all2["fake"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(all1["real"], all2["real"])
