@@ -62,14 +62,15 @@ def main(argv=None):
         rec = {"dir": os.path.basename(d),
                "gamma": float(gamma_coef(test_real, test_gen))}
         rec.update(compute_distribution_distances(test_gen, test_real))
+        # default real reference = the dir's own data_real dump, exactly
+        # what the reference main feeds dcr/nndr
+        # (conditional_gan_concat.py:1090-1102); --train_real overrides.
+        # A dir missing either array skips privacy (never aborts the scan).
         gen_path = os.path.join(d, "data_gen.npy")
-        if args.train_real or os.path.exists(gen_path):
-            # default real reference = the dir's own data_real dump, exactly
-            # what the reference main feeds dcr/nndr
-            # (conditional_gan_concat.py:1090-1102); --train_real overrides
+        real_path = args.train_real or os.path.join(d, "data_real.npy")
+        if os.path.exists(gen_path) and os.path.exists(real_path):
             gen = np.load(gen_path)
-            train_real = (np.load(args.train_real) if args.train_real
-                          else np.load(os.path.join(d, "data_real.npy")))
+            train_real = np.load(real_path)
             rec["dcr"] = dcr(train_real, gen, test_real)
             rec["nndr"] = nndr(train_real, gen, test_real)
         if args.plots:

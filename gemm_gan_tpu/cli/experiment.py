@@ -35,7 +35,7 @@ from gemm_gan_tpu.eval.privacy import dcr, nndr
 from gemm_gan_tpu.eval.utility import UtilityEvaluator, UtilityEvaluatorPrimary, save_run_artifacts
 from gemm_gan_tpu.train.checkpoint import restore_state, save_state
 from gemm_gan_tpu.train.wgan import WGANGPEngine
-from gemm_gan_tpu.utils.metrics import MetricLogger
+from gemm_gan_tpu.utils.metrics import EpochProfileWindow, MetricLogger
 
 
 def _balanced_indices(disease: np.ndarray, max_oversample: int, rng) -> np.ndarray:
@@ -136,19 +136,10 @@ class Experiment:
                             r for r in json.load(f)
                             if r["epoch"] < start_epoch]
 
-        prof = {"on": False, "first": None}
+        prof = EpochProfileWindow(profile_dir, profile_epochs)
 
         def on_epoch_end(engine, state, epoch):
-            if profile_dir is not None:
-                if prof["first"] is None:
-                    # first completed epoch of this call: compiles are done,
-                    # open the steady-state window
-                    prof["first"] = epoch
-                    jax.profiler.start_trace(profile_dir)
-                    prof["on"] = True
-                elif prof["on"] and epoch >= prof["first"] + profile_epochs:
-                    jax.profiler.stop_trace()
-                    prof["on"] = False
+            prof.on_epoch_end(epoch)
             last = (epoch == t.epochs - 1)
             if (epoch + 1) % t.freq_compute_test == 0 and not last:
                 sub = jax.random.fold_in(key, epoch)
@@ -162,8 +153,8 @@ class Experiment:
                             on_epoch_end=on_epoch_end, logger=self.logger,
                             stacked_fn=stacked_fn, start_epoch=start_epoch)
         finally:
-            if prof["on"]:
-                jax.profiler.stop_trace()
+            prof.close()
+        self.profile_captured = prof.captured
         self.state = state
         save_state(ckpt_dir, jax.device_get(state))
         self._plot_val_curves()

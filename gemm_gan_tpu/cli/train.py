@@ -166,14 +166,18 @@ def main(argv=None):
             from gemm_gan_tpu.utils.metrics import (aggregate_device_trace,
                                                     format_device_table)
 
-            try:
+            # `profile_captured` is the real signal: a window that never
+            # closed around a full epoch (e.g. a 1-epoch run) still writes a
+            # near-empty trace file, which would print misleading zero tables
+            if getattr(exp, "profile_captured", False):
                 agg = aggregate_device_trace(args.profile_dir)
                 for title, k in (("by HLO category", "by_category"),
                                  ("by source line", "by_source")):
                     print(format_device_table(agg[k], f"{title} (total ms)"))
-            except FileNotFoundError:
-                print(f"no trace captured under {args.profile_dir} "
-                      "(needs epochs >= 2)")
+            else:
+                print(f"no steady-state trace captured under "
+                      f"{args.profile_dir} (the window opens after the first "
+                      "epoch — the run needs >= 2 epochs)")
         # TSTR utility needs label dumps — conditional variants only (the
         # reference runs UtilityEvaluator only in the conditional mains,
         # e.g. conditional_gan_concat.py:1075-1083)

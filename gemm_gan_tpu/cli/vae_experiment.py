@@ -16,7 +16,7 @@ from gemm_gan_tpu.eval.gamma import gamma_coef
 from gemm_gan_tpu.eval.utility import save_run_artifacts
 from gemm_gan_tpu.train.checkpoint import restore_state, save_state
 from gemm_gan_tpu.train.vae import VAEEngine
-from gemm_gan_tpu.utils.metrics import MetricLogger
+from gemm_gan_tpu.utils.metrics import EpochProfileWindow, MetricLogger
 
 
 class VAEExperiment:
@@ -82,17 +82,10 @@ class VAEExperiment:
             state, start_epoch = resume_or_fresh(
                 ckpt_dir, state, steps_per_epoch, t.epochs, loader=train)
 
-        prof = {"on": False, "first": None}
+        prof = EpochProfileWindow(profile_dir, profile_epochs)
 
         def on_epoch_end(engine, state, epoch):
-            if profile_dir is not None:
-                if prof["first"] is None:
-                    prof["first"] = epoch
-                    jax.profiler.start_trace(profile_dir)
-                    prof["on"] = True
-                elif prof["on"] and epoch >= prof["first"] + profile_epochs:
-                    jax.profiler.stop_trace()
-                    prof["on"] = False
+            prof.on_epoch_end(epoch)
             if (epoch + 1) % t.freq_compute_test == 0 and epoch != t.epochs - 1:
                 save_state(ckpt_dir, jax.device_get(state))
 
@@ -102,8 +95,8 @@ class VAEExperiment:
                                     on_epoch_end=on_epoch_end,
                                     start_epoch=start_epoch)
         finally:
-            if prof["on"]:
-                jax.profiler.stop_trace()
+            prof.close()
+        self.profile_captured = prof.captured
         self.state = state
         save_state(ckpt_dir, jax.device_get(state))
         return self._test_block(state)

@@ -167,3 +167,40 @@ def format_device_table(agg: dict, title: str, topk: int = 20,
     if rest:
         lines.append(f"{'(rest)':<48}{rest / 1e3 / per:>9.3f}")
     return "\n".join(lines)
+
+
+class EpochProfileWindow:
+    """Steady-state `jax.profiler` capture over training epochs.
+
+    Opens the trace after the FIRST completed epoch seen (that epoch's XLA
+    compiles are excluded) and closes it `n_epochs` (min 1) epochs later.
+    Shared by the GAN and VAE experiment fit loops: call `on_epoch_end(e)`
+    from the epoch callback and `close()` in a finally block. A no-op when
+    `log_dir` is None. Needs >= 2 epochs to capture anything.
+    """
+
+    def __init__(self, log_dir: Optional[str], n_epochs: int = 1):
+        self.log_dir = log_dir
+        self.n_epochs = max(1, int(n_epochs))
+        self._first = None
+        self._on = False
+
+    def on_epoch_end(self, epoch: int):
+        if self.log_dir is None:
+            return
+        if self._first is None:
+            self._first = epoch
+            jax.profiler.start_trace(self.log_dir)
+            self._on = True
+        elif self._on and epoch >= self._first + self.n_epochs:
+            self.close()
+
+    def close(self):
+        if self._on:
+            jax.profiler.stop_trace()
+            self._on = False
+
+    @property
+    def captured(self) -> bool:
+        """True once a window has been opened AND closed around >=1 epoch."""
+        return self._first is not None and not self._on

@@ -31,16 +31,13 @@ def build(critic_scan: bool, full: bool):
     from gemm_gan_tpu.data.loader import Batches
     from gemm_gan_tpu.train.wgan import WGANGPEngine
 
-    if full:
-        n_genes, n_patches, patch_dim, n_tokens, text_dim = 18868, 256, 1024, 300, 768
-        fusion_kw = dict(use_pallas=jax.default_backend() != "cpu")
-        n, batch = 16, 8
-    else:
-        n_genes, n_patches, patch_dim, n_tokens, text_dim = 64, 16, 32, 8, 24
-        fusion_kw = dict(cond_dim=16, text_dim=text_dim, patch_dim=patch_dim,
-                         ff_dim=32, num_heads=2, num_layers=1,
-                         n_disease_types=3, n_primary_sites=2, use_pallas=False)
-        n, batch = 16, 8
+    from _flagship import dims_and_fusion_kw
+
+    dims, fusion_kw = dims_and_fusion_kw(full)
+    n_genes, n_patches, patch_dim, n_tokens, text_dim = (
+        dims["n_genes"], dims["n_patches"], dims["patch_dim"],
+        dims["n_tokens"], dims["text_dim"])
+    n, batch = 16, 8
     cfg = variant_config("film_cross_attention", n_genes=n_genes,
                          fusion_kw=fusion_kw)
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(
@@ -92,15 +89,12 @@ def probe_exec(critic_scan: bool, full: bool, scan_len: int = 100,
     from gemm_gan_tpu.data.synthetic import synthetic_dataset
     from gemm_gan_tpu.train.wgan import WGANGPEngine
 
-    if full:
-        n_genes, n_patches, patch_dim, n_tokens, text_dim = \
-            18868, 256, 1024, 300, 768
-        fusion_kw = dict(use_pallas=jax.default_backend() != "cpu")
-    else:
-        n_genes, n_patches, patch_dim, n_tokens, text_dim = 64, 16, 32, 8, 24
-        fusion_kw = dict(cond_dim=16, text_dim=text_dim, patch_dim=patch_dim,
-                         ff_dim=32, num_heads=2, num_layers=1,
-                         n_disease_types=3, n_primary_sites=2, use_pallas=False)
+    from _flagship import dims_and_fusion_kw
+
+    dims, fusion_kw = dims_and_fusion_kw(full)
+    n_genes, n_patches, patch_dim, n_tokens, text_dim = (
+        dims["n_genes"], dims["n_patches"], dims["patch_dim"],
+        dims["n_tokens"], dims["text_dim"])
     cfg = variant_config("film_cross_attention", n_genes=n_genes,
                          fusion_kw=fusion_kw)
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(

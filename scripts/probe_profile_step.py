@@ -31,15 +31,12 @@ def build_engine(tiny: bool):
     from gemm_gan_tpu.data.loader import Batches
     from gemm_gan_tpu.train.wgan import WGANGPEngine
 
-    if tiny:
-        n_genes, n_patches, patch_dim, n_tokens, text_dim = 64, 16, 32, 8, 24
-        fusion_kw = dict(cond_dim=16, text_dim=text_dim, patch_dim=patch_dim,
-                         ff_dim=32, num_heads=2, num_layers=1,
-                         n_disease_types=3, n_primary_sites=2, use_pallas=False)
-    else:
-        n_genes, n_patches, patch_dim, n_tokens, text_dim = \
-            18868, 256, 1024, 300, 768
-        fusion_kw = dict(use_pallas=jax.default_backend() != "cpu")
+    from _flagship import dims_and_fusion_kw
+
+    dims, fusion_kw = dims_and_fusion_kw(full=not tiny)
+    n_genes, n_patches, patch_dim, n_tokens, text_dim = (
+        dims["n_genes"], dims["n_patches"], dims["patch_dim"],
+        dims["n_tokens"], dims["text_dim"])
     cfg = variant_config("film_cross_attention", n_genes=n_genes,
                          fusion_kw=fusion_kw)
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(

@@ -89,3 +89,25 @@ def test_privacy_evaluator_directory_scan(rng, tmp_path):
         np.testing.assert_allclose(scores[k][1], golden[:, j].std(),
                                    rtol=1e-5, atol=1e-5)
     assert ev.report() == scores
+
+
+def test_privacy_evaluator_skips_dir_missing_data_real(rng, tmp_path):
+    """A run dir without data_real.npy is skipped (never aborts the scan)
+    unless train_real is passed explicitly."""
+    from gemm_gan_tpu.eval.privacy import PrivacyEvaluator
+
+    real = rng.randn(20, 4).astype(np.float32)
+    test = rng.randn(15, 4).astype(np.float32)
+    good = tmp_path / "test_0_epoch_1"
+    bad = tmp_path / "test_1_epoch_1"
+    for d in (good, bad):
+        d.mkdir()
+        np.save(d / "data_gen.npy", rng.randn(10, 4).astype(np.float32))
+        np.save(d / "test_real.npy", test)
+    np.save(good / "data_real.npy", real)
+
+    ev = PrivacyEvaluator(str(tmp_path))
+    scores = ev.evaluate()                       # bad dir silently skipped
+    assert all(v[1] == 0.0 for v in scores.values())  # one dir -> std 0
+    with_override = PrivacyEvaluator(str(tmp_path)).evaluate(train_real=real)
+    assert all(np.isfinite(v[0]) for v in with_override.values())
