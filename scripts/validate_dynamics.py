@@ -67,6 +67,13 @@ def main():
     ap.add_argument("--patch-dim", type=int, default=1024)
     ap.add_argument("--tokens", type=int, default=300)
     ap.add_argument("--text-dim", type=int, default=768)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the container pins "
+                         "JAX_PLATFORMS=axon via sitecustomize, so an env "
+                         "prefix does NOT stick — CLAUDE.md)")
+    ap.add_argument("--critic-scan", action="store_true",
+                    help="train.critic_scan=True: lax.scan the critic loop "
+                         "(same numerics, ~2.5x faster remote compile)")
     ap.add_argument("--on-device-eval", action="store_true",
                     help="evaluate with the device-side proxy (device_out "
                          "generation + kNN detection + device PRDC): only "
@@ -76,6 +83,9 @@ def main():
     import dataclasses
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from gemm_gan_tpu.config import variant_config
     from gemm_gan_tpu.data.device_cache import DeviceCache
@@ -102,7 +112,8 @@ def main():
     cfg = variant_config("film_cross_attention", n_genes=args.genes,
                          fusion_kw=fusion_kw)
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-        cfg.train, cond_embed_reuse="per_update", drift_epsilon=1e-3))
+        cfg.train, cond_embed_reuse="per_update", drift_epsilon=1e-3,
+        critic_scan=args.critic_scan))
     cache = DeviceCache(train, batch_size=cfg.train.batch_size, seed=0)
     test_cache = DeviceCache(test, batch_size=64, seed=0, shuffle=False,
                              drop_remainder=False)
