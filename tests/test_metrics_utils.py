@@ -39,3 +39,26 @@ def test_profile_to_writes_trace(tmp_path):
     # a plugin/trace event directory must exist under the log dir
     walked = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
     assert walked, "profiler wrote no trace files"
+
+
+def test_epoch_profile_window_state_machine(tmp_path):
+    from gemm_gan_tpu.utils.metrics import EpochProfileWindow
+
+    # no-op when log_dir is None
+    w = EpochProfileWindow(None)
+    w.on_epoch_end(0)
+    w.close()
+    assert not w.captured
+
+    # opens after the first epoch seen, closes n_epochs later; clamps n>=1
+    d = str(tmp_path / "p")
+    w = EpochProfileWindow(d, n_epochs=0)
+    assert w.n_epochs == 1
+    w.on_epoch_end(3)            # window opens (trace starts)
+    assert not w.captured        # still open
+    float(jnp.sum(jnp.arange(4.0)))  # some traced work
+    w.on_epoch_end(4)            # 1 epoch elapsed -> closes
+    assert w.captured
+    w.close()                    # idempotent
+    walked = [f for _, _, fs in os.walk(d) for f in fs]
+    assert walked, "no trace files written"
