@@ -114,10 +114,20 @@ class Experiment:
         key = jax.random.key(t.seed + 1)
 
         # scan path needs >=1 full batch per epoch; tiny splits take the
-        # per-batch path instead of crashing inside stacked_epoch
+        # per-batch path instead of crashing inside the epoch spec. A
+        # DeviceCache takes the STREAMING scan (batches gathered from the
+        # HBM bank inside the scan body, O(bank + one batch) memory); a host
+        # Batches loader takes the materialized stacked_epoch variant.
         train = self.loaders["train"]
-        stacked_fn = train.stacked_epoch if train.n_full_batches else None
-        steps_per_epoch = train.n_full_batches if stacked_fn else len(train)
+        scan_cache = None
+        stacked_fn = None
+        if train.n_full_batches:
+            if hasattr(train, "assemble_fn"):
+                scan_cache = train
+            else:
+                stacked_fn = train.stacked_epoch
+        use_scan = scan_cache is not None or stacked_fn is not None
+        steps_per_epoch = train.n_full_batches if use_scan else len(train)
 
         start_epoch = 0
         ckpt_dir = os.path.join(self.out_dir, "ckpt")
@@ -151,7 +161,8 @@ class Experiment:
         try:
             state = eng.fit(state, t.epochs, lambda: train.epoch(),
                             on_epoch_end=on_epoch_end, logger=self.logger,
-                            stacked_fn=stacked_fn, start_epoch=start_epoch)
+                            stacked_fn=stacked_fn, scan_cache=scan_cache,
+                            start_epoch=start_epoch)
         finally:
             prof.close()
         self.profile_captured = prof.captured

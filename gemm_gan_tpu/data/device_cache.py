@@ -110,6 +110,10 @@ class DeviceCache:
         jit_many = jax.jit(jax.vmap(assemble, in_axes=(None, 0, 0)))
         self._assemble = lambda idx, key: jit_one(self.arrays, idx, key)
         self._assemble_many = lambda idx, keys: jit_many(self.arrays, idx, keys)
+        # pure, untraced assembler for callers that inline the gather into
+        # their own program (the engine's streaming scan path) — identical
+        # math to the jitted assemblers above
+        self.assemble_fn = assemble
 
     def seek(self, epoch: int):
         """Position the no-arg `epoch()` stream at `epoch` (resume support:
@@ -145,12 +149,19 @@ class DeviceCache:
         0 means the scan path is unusable — use the per-batch path."""
         return self.n // self.batch_size
 
-    def stacked_epoch(self, epoch: Optional[int] = None) -> Dict[str, jax.Array]:
-        """Whole epoch as one on-device gather [K, B, ...] (for `lax.scan`
-        training: one device program per epoch, zero host dispatch)."""
+    def epoch_spec(self, epoch: Optional[int] = None):
+        """(idx [K, B] int32, keys [K]) for one epoch's full-size batches.
+
+        The tiny inputs behind `stacked_epoch`'s gather: callers that inline
+        `assemble_fn` into their own scanned program (the engine's streaming
+        fit path, `WGANGPEngine.step_many_cached`) consume these directly —
+        the whole-epoch [K, B, ...] batch stack is then never materialized,
+        so device memory stays O(bank + one batch) instead of O(bank +
+        epoch) (at real TCGA scale the stacked patches+tokens alone would be
+        ~20 GB). Same idx/keys as `stacked_epoch` — identical training."""
         if self.n_full_batches == 0:
             raise ValueError(
-                f"stacked_epoch needs at least one full batch "
+                f"the scan path needs at least one full batch "
                 f"(n={self.n}, batch_size={self.batch_size}); "
                 "use the per-batch epoch() path")
         e = self._epoch if epoch is None else epoch
@@ -165,4 +176,15 @@ class DeviceCache:
         idx = idx[:K * self.batch_size].reshape(K, self.batch_size)
         ekey = jax.random.fold_in(self._key, e)
         keys = jax.vmap(lambda i: jax.random.fold_in(ekey, i))(jnp.arange(K))
-        return self._assemble_many(jnp.asarray(idx), keys)
+        return jnp.asarray(idx), keys
+
+    def stacked_epoch(self, epoch: Optional[int] = None) -> Dict[str, jax.Array]:
+        """Whole epoch as one on-device gather [K, B, ...] (for `lax.scan`
+        training: one device program per epoch, zero host dispatch).
+
+        Materializes every batch of the epoch at once — fine at bench/probe
+        scale, but at full TCGA scale prefer the streaming path
+        (`epoch_spec` + `WGANGPEngine.step_many_cached`), which gathers each
+        batch inside the scan body instead."""
+        idx, keys = self.epoch_spec(epoch)
+        return self._assemble_many(idx, keys)

@@ -57,6 +57,7 @@ class WGANGPEngine:
         self.d_tx = make_optimizer(t, t.lr_disc, steps_per_epoch, t.clip_grad_disc)
         self._train_step = None
         self._train_many = None
+        self._train_many_cached = None
         self._sample = None
         self._sample_scan = None
 
@@ -287,6 +288,36 @@ class WGANGPEngine:
             stacked = {k: jax.device_put(v, sb) for k, v in stacked.items()}
         return self._train_many(state, stacked)
 
+    def step_many_cached(self, state: GANTrainState, cache,
+                         epoch: Optional[int] = None):
+        """One epoch of fused steps in ONE device program, streaming batches
+        from a `DeviceCache`: each scan iteration gathers (and
+        patch-subsamples) its batch from the HBM bank INSIDE the scan body.
+
+        Numerically identical to `step_many(state, cache.stacked_epoch(e))`
+        — same idx/keys, same assembler — but the whole-epoch [K, B, ...]
+        batch stack is never materialized: device memory stays
+        O(bank + one batch). At real TCGA scale (~10k cases) the stacked
+        patches+tokens alone would be ~20 GB, more than the chip; this path
+        is what makes the scan fit loop feasible there. (Beyond reference:
+        the reference streams from per-item disk reads — SURVEY.md §2.2.)
+        """
+        if self._train_many_cached is None:
+            inner = self._build_train_step()
+            assemble = cache.assemble_fn
+
+            def many(state, arrays, idx, keys):
+                def body(st, xs):
+                    i, k = xs
+                    return inner(st, assemble(arrays, i, k))
+
+                state, ms = jax.lax.scan(body, state, (idx, keys))
+                return state, jax.tree.map(lambda m: m[-1], ms)
+
+            self._train_many_cached = jax.jit(many, donate_argnums=(0,))
+        idx, keys = cache.epoch_spec(epoch)
+        return self._train_many_cached(state, cache.arrays, idx, keys)
+
     # --------------------------------------------------------------- sampling
     def _build_sample(self):
         latent = self.cfg.model.latent_dim
@@ -493,15 +524,19 @@ class WGANGPEngine:
             batches_fn: Callable[[], Iterable[Dict[str, Any]]] = None,
             on_epoch_end: Optional[Callable] = None,
             logger=None, stacked_fn: Optional[Callable] = None,
-            start_epoch: int = 0) -> GANTrainState:
+            start_epoch: int = 0, scan_cache=None) -> GANTrainState:
         """Fit loop: jitted fused steps + optional epoch callback.
 
-        `stacked_fn(epoch) -> dict of [K, B, ...]` selects the `lax.scan`
-        fast path: one device program per epoch (~9x fewer host dispatches
-        for this latency-bound model). `batches_fn` is the per-batch path.
-        The full reference-parity experiment protocol (periodic detection /
-        metric evaluation, npy dumps, checkpoints) lives in
-        `gemm_gan_tpu.cli.experiment` and plugs in via `on_epoch_end`.
+        `scan_cache` (a `DeviceCache`) selects the streaming scan path —
+        one device program per epoch with each batch gathered from the HBM
+        bank inside the scan body (`step_many_cached`); device memory stays
+        O(bank + one batch), the right choice at TCGA scale.
+        `stacked_fn(epoch) -> dict of [K, B, ...]` is the materialized
+        variant of the same scan (identical numerics). `batches_fn` is the
+        per-batch path. The full reference-parity experiment protocol
+        (periodic detection / metric evaluation, npy dumps, checkpoints)
+        lives in `gemm_gan_tpu.cli.experiment` and plugs in via
+        `on_epoch_end`.
 
         `start_epoch` resumes an interrupted run from a restored state:
         epochs [start_epoch, epochs) are trained, and because both loaders
@@ -509,12 +544,16 @@ class WGANGPEngine:
         the continued run sees exactly the batches the uninterrupted run
         would have (the train-stream PRNG itself rides in `state.key`).
         """
-        if batches_fn is None and stacked_fn is None:
-            raise ValueError("fit() needs batches_fn or stacked_fn")
+        if batches_fn is None and stacked_fn is None and scan_cache is None:
+            raise ValueError("fit() needs batches_fn, stacked_fn, or "
+                             "scan_cache")
         history = {"d_loss": [], "g_loss": []}
         for epoch in range(start_epoch, epochs):
             last_metrics = None
-            if stacked_fn is not None:
+            if scan_cache is not None:
+                state, last_metrics = self.step_many_cached(
+                    state, scan_cache, epoch)
+            elif stacked_fn is not None:
                 state, last_metrics = self.step_many(state, stacked_fn(epoch))
             else:
                 for batch in batches_fn():

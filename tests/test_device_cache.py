@@ -97,3 +97,39 @@ def test_embedding_store_dtype_bf16():
     assert stacked["patches"].dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(stacked["genes"][0]),
                                   data["genes"][:8])
+
+
+def test_step_many_cached_matches_stacked(tiny_data, make_tiny_cfg):
+    """`step_many_cached` (batches gathered from the HBM bank INSIDE the
+    scan body — O(bank + one batch) memory) must match
+    `step_many(stacked_epoch(e))` (whole-epoch gather materialized): same
+    epoch spec, same assembler, so the training is identical."""
+    import jax
+
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    cfg = make_tiny_cfg("film", train_kw=dict(n_critic=2))
+
+    def run(cached):
+        dev = DeviceCache(tiny_data, batch_size=8, num_patches=4, seed=0)
+        eng = WGANGPEngine(cfg, steps_per_epoch=dev.n_full_batches)
+        state = eng.init_state(0, next(iter(dev.epoch(0))))
+        if cached:
+            state, m = eng.step_many_cached(state, dev, 0)
+            state, m = eng.step_many_cached(state, dev, 1)
+        else:
+            state, m = eng.step_many(state, dev.stacked_epoch(0))
+            state, m = eng.step_many(state, dev.stacked_epoch(1))
+        return jax.device_get(state), {k: float(v) for k, v in m.items()}
+
+    s_stacked, m_stacked = run(False)
+    s_cached, m_cached = run(True)
+    for k in m_stacked:
+        np.testing.assert_allclose(m_stacked[k], m_cached[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        s_stacked.g_params, s_cached.g_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        s_stacked.d_params, s_cached.d_params)
