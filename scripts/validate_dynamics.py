@@ -158,7 +158,7 @@ def main():
 
     last = None
     for epoch in range(args.epochs):
-        state, m = eng.step_many(state, cache.stacked_epoch(epoch))
+        state, m = eng.step_many_cached(state, cache, epoch)
         d_loss = float(jax.device_get(m["d_loss"]))
         d_real = float(jax.device_get(m["d_real"]))
         if epoch % 5 == 0 or epoch == args.epochs - 1:
