@@ -11,7 +11,7 @@ import argparse
 import os
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(description="gemm_gan_tpu sampler")
     p.add_argument("--variant", default="vanilla")
     p.add_argument("--data_dir", required=True)
@@ -34,7 +34,11 @@ def main(argv=None):
                         "size (~5%% faster delivery on the tunneled backend, "
                         "proportional on bandwidth-bound links)")
     p.add_argument("--seed", type=int, default=42)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     import jax
     import numpy as np
