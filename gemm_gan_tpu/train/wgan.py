@@ -58,6 +58,7 @@ class WGANGPEngine:
         self._train_step = None
         self._train_many = None
         self._train_many_cached = None
+        self._train_many_cached_for = lambda: None  # weakref to its cache
         self._sample = None
         self._sample_scan = None
 
@@ -302,7 +303,12 @@ class WGANGPEngine:
         is what makes the scan fit loop feasible there. (Beyond reference:
         the reference streams from per-item disk reads — SURVEY.md §2.2.)
         """
-        if self._train_many_cached is None:
+        # keyed on the cache instance: its assemble_fn (resample policy,
+        # narrowed-dtype set) is baked into the traced program, so a
+        # different cache must rebuild rather than silently reuse it
+        if self._train_many_cached is None or self._train_many_cached_for() is not cache:
+            import weakref
+
             inner = self._build_train_step()
             assemble = cache.assemble_fn
 
@@ -315,6 +321,7 @@ class WGANGPEngine:
                 return state, jax.tree.map(lambda m: m[-1], ms)
 
             self._train_many_cached = jax.jit(many, donate_argnums=(0,))
+            self._train_many_cached_for = weakref.ref(cache)
         idx, keys = cache.epoch_spec(epoch)
         return self._train_many_cached(state, cache.arrays, idx, keys)
 

@@ -133,3 +133,23 @@ def test_step_many_cached_matches_stacked(tiny_data, make_tiny_cfg):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
         s_stacked.d_params, s_cached.d_params)
+
+
+def test_step_many_cached_rebuilds_for_new_cache(tiny_data, make_tiny_cfg):
+    """The cached streaming program bakes in its cache's assemble_fn
+    (resample policy); a different cache instance must rebuild it, not
+    silently reuse the stale closure."""
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    cfg = make_tiny_cfg("film", train_kw=dict(n_critic=1))
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    cache4 = DeviceCache(tiny_data, batch_size=8, num_patches=4, seed=0)
+    cache6 = DeviceCache(tiny_data, batch_size=8, num_patches=6, seed=0)
+    state = eng.init_state(0, next(iter(cache4.epoch(0))))
+    state, m4 = eng.step_many_cached(state, cache4, 0)
+    assert np.isfinite(float(m4["d_loss"]))
+    # stale closure would assemble 4-patch batches here (wrong shapes/policy)
+    state2 = eng.init_state(0, next(iter(cache6.epoch(0))))
+    state2, m6 = eng.step_many_cached(state2, cache6, 0)
+    assert np.isfinite(float(m6["d_loss"]))
+    assert eng._train_many_cached_for() is cache6
