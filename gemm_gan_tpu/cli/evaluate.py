@@ -14,7 +14,7 @@ import os
 from glob import glob
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(description="gemm_gan_tpu post-hoc evaluator")
     p.add_argument("--results_path", required=True)
     p.add_argument("--train_real",
@@ -32,7 +32,11 @@ def main(argv=None):
                         "distance figure (top variance; full TCGA would be "
                         "a 18,868^2 matrix)")
     p.add_argument("--out", default=None)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     import numpy as np
 

@@ -21,6 +21,7 @@ Behavioral parity notes (reference: /root/reference/src/conditional_gan_concat.p
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
@@ -57,8 +58,9 @@ class WGANGPEngine:
         self.d_tx = make_optimizer(t, t.lr_disc, steps_per_epoch, t.clip_grad_disc)
         self._train_step = None
         self._train_many = None
-        self._train_many_cached = None
-        self._train_many_cached_for = lambda: None  # weakref to its cache
+        # per-DeviceCache compiled streaming programs (weak keys: a dropped
+        # cache releases its program)
+        self._train_many_cached = weakref.WeakKeyDictionary()
         self._sample = None
         self._sample_scan = None
 
@@ -303,27 +305,45 @@ class WGANGPEngine:
         is what makes the scan fit loop feasible there. (Beyond reference:
         the reference streams from per-item disk reads — SURVEY.md §2.2.)
         """
-        # keyed on the cache instance: its assemble_fn (resample policy,
-        # narrowed-dtype set) is baked into the traced program, so a
-        # different cache must rebuild rather than silently reuse it
-        if self._train_many_cached is None or self._train_many_cached_for() is not cache:
-            import weakref
-
+        # keyed on the cache instance (weak-keyed dict): its assemble_fn
+        # (resample policy, narrowed-dtype set) is baked into the traced
+        # program, so each cache gets its OWN compiled program — a different
+        # cache neither reuses a stale closure nor evicts the previous
+        # cache's program (alternating caches would otherwise pay a full
+        # remote recompile per switch)
+        fn = self._train_many_cached.get(cache)
+        if fn is None:
             inner = self._build_train_step()
             assemble = cache.assemble_fn
+            mesh = self.mesh
+            sb = batch_sharding(mesh) if mesh is not None else None
 
             def many(state, arrays, idx, keys):
                 def body(st, xs):
                     i, k = xs
-                    return inner(st, assemble(arrays, i, k))
+                    batch = assemble(arrays, i, k)
+                    if sb is not None:
+                        # same data-axis placement the other step paths give
+                        # their batches: shard the assembled batch over
+                        # `data` so the fused step runs data-parallel
+                        batch = jax.tree.map(
+                            lambda v: jax.lax.with_sharding_constraint(v, sb),
+                            batch)
+                    return inner(st, batch)
 
                 state, ms = jax.lax.scan(body, state, (idx, keys))
                 return state, jax.tree.map(lambda m: m[-1], ms)
 
-            self._train_many_cached = jax.jit(many, donate_argnums=(0,))
-            self._train_many_cached_for = weakref.ref(cache)
+            fn = jax.jit(many, donate_argnums=(0,))
+            self._train_many_cached[cache] = fn
+        arrays = cache.arrays
+        if self.mesh is not None:
+            # replicate the bank over the mesh (no-op once placed); the
+            # in-scan gather then feeds the data-sharded batch constraint
+            rep = NamedSharding(self.mesh, P())
+            arrays = {k: jax.device_put(v, rep) for k, v in arrays.items()}
         idx, keys = cache.epoch_spec(epoch)
-        return self._train_many_cached(state, cache.arrays, idx, keys)
+        return fn(state, arrays, idx, keys)
 
     # --------------------------------------------------------------- sampling
     def _build_sample(self):

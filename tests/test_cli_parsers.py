@@ -34,18 +34,12 @@ def test_sample_parser_flags():
 
 
 def test_evaluate_parser_flags():
-    from gemm_gan_tpu.cli.evaluate import main  # parser built inside main
-    import argparse
+    from gemm_gan_tpu.cli.evaluate import build_parser
 
-    # main() builds its parser inline; exercise it via a parse-only failure
-    # path: --help would SystemExit(0), unknown flag SystemExit(2)
-    try:
-        main(["--results_path", "/nonexistent", "--train_real", "t.npy",
-              "--skip_utility"])
-    except FileNotFoundError:
-        pass  # parsed fine; the path simply doesn't exist
-    except SystemExit as e:  # pragma: no cover - parse failure
-        raise AssertionError(f"evaluate flags failed to parse: {e}")
+    a = build_parser().parse_args([
+        "--results_path", "r", "--train_real", "t.npy", "--skip_utility",
+        "--plots", "--plot_genes", "100", "--out", "o.json"])
+    assert a.skip_utility and a.plots and a.plot_genes == 100
 
 
 def test_ingest_and_preprocess_parser_flags():

@@ -152,4 +152,9 @@ def test_step_many_cached_rebuilds_for_new_cache(tiny_data, make_tiny_cfg):
     state2 = eng.init_state(0, next(iter(cache6.epoch(0))))
     state2, m6 = eng.step_many_cached(state2, cache6, 0)
     assert np.isfinite(float(m6["d_loss"]))
-    assert eng._train_many_cached_for() is cache6
+    # both caches keep their OWN compiled program (no eviction or
+    # stale-closure reuse)
+    assert cache4 in eng._train_many_cached
+    assert cache6 in eng._train_many_cached
+    assert (eng._train_many_cached[cache4]
+            is not eng._train_many_cached[cache6])

@@ -128,3 +128,28 @@ def test_sampling_on_mesh_matches_single_device(tiny_data, make_tiny_cfg):
     np.testing.assert_allclose(one1, one2, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(all1["fake"], all2["fake"], rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(all1["real"], all2["real"])
+
+
+def test_step_many_cached_on_mesh_matches_single_device(tiny_data, make_tiny_cfg):
+    """The streaming scan path shards its in-scan-assembled batches over
+    `data` (with_sharding_constraint) and replicates the bank — one epoch on
+    the 4x2 mesh must match the single-device streaming run."""
+    from gemm_gan_tpu.data.device_cache import DeviceCache
+
+    cfg = make_tiny_cfg("film", train_kw=dict(n_critic=2))
+
+    def run(mesh):
+        dev = DeviceCache(tiny_data, batch_size=8, num_patches=4, seed=0)
+        eng = WGANGPEngine(cfg, steps_per_epoch=dev.n_full_batches, mesh=mesh)
+        state = eng.init_state(0, next(iter(dev.epoch(0))))
+        state, m = eng.step_many_cached(state, dev, 0)
+        return jax.device_get(state), {k: float(v) for k, v in m.items()}
+
+    s1, m1 = run(None)
+    s2, m2 = run(make_mesh(data=4, model=2))
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=2e-3, atol=5e-5,
+                                   err_msg=k)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-2,
+                                                         atol=5e-4),
+                 s1.g_params, s2.g_params)
