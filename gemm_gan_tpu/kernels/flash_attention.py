@@ -547,16 +547,29 @@ def disable_pallas():
         _TRACE_FLAGS.disabled = prev
 
 
+def _dim_ge(dim, bound: int) -> bool:
+    """`dim >= bound`, resolving to False for a symbolic dimension where the
+    comparison is inconclusive (jax.export shape polymorphism: a
+    dynamic-shape serving export takes the simple polymorphic jnp path —
+    the Pallas grid and the blocked reference are shape-specialized)."""
+    try:
+        return bool(dim >= bound)
+    except Exception:
+        return False
+
+
 def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True,
                mxu_bf16: bool = False):
     """Dispatch: Pallas kernel on TPU for non-tiny query lengths, else jnp."""
     on_tpu = jax.default_backend() == "tpu"
-    if (use_pallas and not _pallas_disabled() and q.shape[2] >= MIN_PALLAS_LQ
+    if (use_pallas and not _pallas_disabled()
+            and _dim_ge(q.shape[2], MIN_PALLAS_LQ)
             and (_INTERPRET or (on_tpu and pltpu is not None))):
         try:
             return flash_mha(q, k, v, kv_mask, scale=scale, mxu_bf16=mxu_bf16)
         except Exception:
             pass
-    if q.shape[2] >= BLOCKED_REF_MIN_LK or k.shape[2] >= BLOCKED_REF_MIN_LK:
+    if (_dim_ge(q.shape[2], BLOCKED_REF_MIN_LK)
+            or _dim_ge(k.shape[2], BLOCKED_REF_MIN_LK)):
         return mha_reference_blocked(q, k, v, kv_mask, scale=scale)
     return mha_reference(q, k, v, kv_mask, scale=scale)
