@@ -52,6 +52,12 @@ def build_parser():
                    help="lax.scan the n_critic critic updates instead of "
                         "unrolling: same numerics, ~n_critic-x smaller XLA "
                         "program (faster compiles)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each update into this many microbatches and "
+                        "accumulate gradients: activation/GP memory scales "
+                        "with batch/grad_accum (large effective batches, "
+                        "whole-slide patch counts); exact vs the full-batch "
+                        "step at fusion dropout 0. batch_size must divide")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of steady-state "
                         "training epochs (window opens after the first "
@@ -130,7 +136,7 @@ def main(argv=None):
             checkpoint_every_eval=(args.checkpoint_every_eval
                                    or cfg.train.checkpoint_every_eval),
             ema_decay=args.ema_decay, drift_epsilon=args.drift_epsilon,
-            critic_scan=args.critic_scan),
+            critic_scan=args.critic_scan, grad_accum=args.grad_accum),
         # record the resolved data settings: the Experiment's DeviceCache
         # subsamples to cfg.data.num_patches (NOT the load_tcga argument),
         # and cli/sample.py rebuilds the loaders from the saved config

@@ -121,6 +121,18 @@ class TrainConfig:
     #   fusion.dropout == 0; with dropout > 0 it shares one dropout draw
     #   across the scores inside an update (tests/test_engine.py).
     cond_embed_reuse: str = "per_call"  # per_call | per_update
+    # Gradient accumulation (beyond reference): split each update's batch
+    # into `grad_accum` microbatches, scan them accumulating gradients, and
+    # apply ONE optimizer update on the mean — activation/GP memory scales
+    # with B/grad_accum instead of B, so effective batches can exceed what
+    # one chip's HBM fits (e.g. large batches at whole-slide patch counts).
+    # Per-sample randomness (z, GP α, instance noise) is drawn once at full
+    # batch size and sliced, and microbatches are STRIDED (sample i -> micro
+    # i % M) so each microbatch stays balanced across a data-sharded mesh;
+    # the accumulated step therefore equals the full-batch step exactly at
+    # fusion.dropout == 0 (tests/test_grad_accum.py), up to fp reduction
+    # order. Batch size must divide evenly.
+    grad_accum: int = 1
     # Roll the n_critic critic updates into a `lax.scan` instead of Python
     # unrolling (beyond reference; numerics identical — same ops, same key
     # order, the loop body is traced once instead of n_critic times). The

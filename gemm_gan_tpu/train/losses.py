@@ -48,15 +48,22 @@ def drift_penalty(real_scores, fake_scores):
     return jnp.mean(real_scores ** 2) + jnp.mean(fake_scores ** 2)
 
 
-def gradient_penalty(disc_fn, real, fake, alpha_key):
+def gradient_penalty(disc_fn, real, fake, alpha_key, alpha=None):
     """((||∇_x D(x̂)||₂ − 1)²).mean() with x̂ = αx + (1−α)G(z), α~U(0,1) per sample.
 
     `disc_fn` must map a [B, n_genes] expression batch to [B, 1] scores with
     the critic params and conditioning closed over. Per-sample gradients are
     exact because the critic is per-sample (no batch-coupled norms): grad of
     the summed score w.r.t. the input equals the stacked per-sample grads.
+
+    `alpha` (optional [B, 1]): pre-drawn interpolation coefficients. The
+    gradient-accumulation path draws α once at full batch size and passes
+    per-microbatch slices so the accumulated step equals the full-batch step
+    exactly (train/wgan.py).
     """
-    alpha = jax.random.uniform(alpha_key, (real.shape[0], 1), dtype=real.dtype)
+    if alpha is None:
+        alpha = jax.random.uniform(alpha_key, (real.shape[0], 1),
+                                   dtype=real.dtype)
     interp = alpha * real + (1.0 - alpha) * fake
     grads = jax.grad(lambda x: jnp.sum(disc_fn(x)))(interp)
     norms = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)

@@ -121,6 +121,52 @@ class WGANGPEngine:
             noise = jax.random.normal(key, x.shape, dtype=x.dtype) * t.norm_scale
             return x + gate * noise
 
+        def d_loss_terms(d_params, real_a, fake_a, cond, ka, kd2, kd2b, kd3,
+                         alpha=None):
+            """Critic loss (+aux) on one (micro)batch — shared by the direct
+            and the gradient-accumulation update paths."""
+            if reuse and cond is not None:
+                # one embedding per critic update, shared by the real
+                # score, the fake score, and the GP (exact when
+                # fusion.dropout == 0 — the three evaluations are then
+                # identical computations)
+                cvec = disc.apply(
+                    {"params": d_params}, cond, deterministic=False,
+                    rngs={"dropout": kd2}, method="embed_cond")
+                d_real = disc.apply({"params": d_params}, real_a, cvec,
+                                    method="score")
+                d_fake = disc.apply({"params": d_params}, fake_a, cvec,
+                                    method="score")
+            else:
+                # independent dropout keys per forward, matching the
+                # reference's per-call torch dropout draws
+                d_real = disc_fwd(d_params, real_a, cond, kd2)
+                d_fake = disc_fwd(d_params, fake_a, cond, kd2b)
+                cvec = None
+                if cond is not None:
+                    cvec = disc.apply(
+                        {"params": d_params}, cond, deterministic=False,
+                        rngs={"dropout": kd3}, method="embed_cond")
+            loss, loss_r, loss_f = losses.d_loss(d_real, d_fake)
+            # GP: the penalty differentiates D w.r.t. the interpolated
+            # *expression* only (conditions fixed, reference :332-337),
+            # and the critic is trunk([x ∥ fusion(cond)]) — so the fusion
+            # stack is evaluated ONCE, outside the inner grad, and
+            # enters it as a constant. Only the small MLP trunk is
+            # differentiated twice; the Pallas flash kernels (first-order
+            # custom VJP) serve the whole step with no jnp fallback and
+            # no closed-over-custom_vjp restriction, and at whole-slide
+            # patch counts the GP costs O(trunk), not O(attention).
+            gp = losses.gradient_penalty(
+                lambda x: disc.apply({"params": d_params}, x, cvec,
+                                     method="score"),
+                real_a, fake_a, ka, alpha=alpha)
+            total = loss + t.gp_weight * gp
+            if t.drift_epsilon > 0:
+                total = total + t.drift_epsilon * losses.drift_penalty(
+                    d_real, d_fake)
+            return total, (loss, gp, jnp.mean(d_real), jnp.mean(d_fake))
+
         def critic_update(state, real, cond, key, g_cvec):
             kz, ka, kgate, kn1, kn2, kd1, kd2, kd2b, kd3 = \
                 jax.random.split(key, 9)
@@ -139,50 +185,83 @@ class WGANGPEngine:
             real_a = augment(real, kn2, gate)
 
             def loss_fn(d_params):
-                if reuse and cond is not None:
-                    # one embedding per critic update, shared by the real
-                    # score, the fake score, and the GP (exact when
-                    # fusion.dropout == 0 — the three evaluations are then
-                    # identical computations)
-                    cvec = disc.apply(
-                        {"params": d_params}, cond, deterministic=False,
-                        rngs={"dropout": kd2}, method="embed_cond")
-                    d_real = disc.apply({"params": d_params}, real_a, cvec,
-                                        method="score")
-                    d_fake = disc.apply({"params": d_params}, fake_a, cvec,
-                                        method="score")
-                else:
-                    # independent dropout keys per forward, matching the
-                    # reference's per-call torch dropout draws
-                    d_real = disc_fwd(d_params, real_a, cond, kd2)
-                    d_fake = disc_fwd(d_params, fake_a, cond, kd2b)
-                    cvec = None
-                    if cond is not None:
-                        cvec = disc.apply(
-                            {"params": d_params}, cond, deterministic=False,
-                            rngs={"dropout": kd3}, method="embed_cond")
-                loss, loss_r, loss_f = losses.d_loss(d_real, d_fake)
-                # GP: the penalty differentiates D w.r.t. the interpolated
-                # *expression* only (conditions fixed, reference :332-337),
-                # and the critic is trunk([x ∥ fusion(cond)]) — so the fusion
-                # stack is evaluated ONCE, outside the inner grad, and
-                # enters it as a constant. Only the small MLP trunk is
-                # differentiated twice; the Pallas flash kernels (first-order
-                # custom VJP) serve the whole step with no jnp fallback and
-                # no closed-over-custom_vjp restriction, and at whole-slide
-                # patch counts the GP costs O(trunk), not O(attention).
-                gp = losses.gradient_penalty(
-                    lambda x: disc.apply({"params": d_params}, x, cvec,
-                                         method="score"),
-                    real_a, fake_a, ka)
-                total = loss + t.gp_weight * gp
-                if t.drift_epsilon > 0:
-                    total = total + t.drift_epsilon * losses.drift_penalty(
-                        d_real, d_fake)
-                return total, (loss, gp, jnp.mean(d_real), jnp.mean(d_fake))
+                return d_loss_terms(d_params, real_a, fake_a, cond,
+                                    ka, kd2, kd2b, kd3)
 
             grads, aux = jax.grad(loss_fn, has_aux=True)(state.d_params)
             updates, d_opt = d_tx.update(grads, state.d_opt_state, state.d_params)
+            d_params = optax.apply_updates(state.d_params, updates)
+            return state.replace(d_params=d_params, d_opt_state=d_opt), aux
+
+        # ---------------- gradient accumulation (config `train.grad_accum`)
+        # Microbatches are STRIDED (sample i -> microbatch i % M) so each
+        # stays balanced across a data-sharded mesh, and every per-sample
+        # random draw (z, GP α, instance noise) happens ONCE at full batch
+        # size and is regrouped the same way — the accumulated update is the
+        # full-batch update exactly (fp reduction order aside) at
+        # fusion.dropout == 0; dropout masks are drawn per microbatch
+        # (fold_in(key, m)), the same caveat as cond_embed_reuse.
+        def _regroup(x):
+            if x is None:
+                return None
+            M = t.grad_accum
+            return x.reshape((x.shape[0] // M, M) + x.shape[1:]).swapaxes(0, 1)
+
+        def _regroup_tree(tree):
+            return None if tree is None else jax.tree.map(_regroup, tree)
+
+        def _tree_add(a, b):
+            return jax.tree.map(jnp.add, a, b)
+
+        def critic_update_accum(state, real, cond, key, g_cvec):
+            M = t.grad_accum
+            kz, ka, kgate, kn1, kn2, kd1, kd2, kd2b, kd3 = \
+                jax.random.split(key, 9)
+            z = jax.random.normal(kz, (real.shape[0], m.latent_dim))
+            gate = (jax.random.bernoulli(kgate, t.p_aug) if t.p_aug > 0
+                    else jnp.zeros(()))
+            alpha = jax.random.uniform(ka, (real.shape[0], 1),
+                                       dtype=real.dtype)
+            noise_f = (jax.random.normal(kn1, real.shape, real.dtype)
+                       * t.norm_scale if t.p_aug > 0 else None)
+            noise_r = (jax.random.normal(kn2, real.shape, real.dtype)
+                       * t.norm_scale if t.p_aug > 0 else None)
+            xs = (jnp.arange(M), _regroup(z), _regroup(alpha), _regroup(real),
+                  _regroup_tree(cond), _regroup(g_cvec),
+                  _regroup(noise_f), _regroup(noise_r))
+
+            def micro(carry, xs_m):
+                g_acc, aux_acc = carry
+                i, z_m, alpha_m, real_m, cond_m, g_cvec_m, nf_m, nr_m = xs_m
+                if g_cvec_m is not None:
+                    fake = jax.lax.stop_gradient(gen.apply(
+                        {"params": state.g_params}, z_m, g_cvec_m,
+                        method="score"))
+                else:
+                    fake = jax.lax.stop_gradient(gen_fwd(
+                        state.g_params, z_m, cond_m,
+                        jax.random.fold_in(kd1, i)))
+                fake_a = fake if nf_m is None else fake + gate * nf_m
+                real_a = real_m if nr_m is None else real_m + gate * nr_m
+
+                def loss_fn(d_params):
+                    return d_loss_terms(
+                        d_params, real_a, fake_a, cond_m, ka,
+                        jax.random.fold_in(kd2, i),
+                        jax.random.fold_in(kd2b, i),
+                        jax.random.fold_in(kd3, i), alpha=alpha_m)
+
+                grads, aux = jax.grad(loss_fn, has_aux=True)(state.d_params)
+                return (_tree_add(g_acc, grads),
+                        _tree_add(aux_acc, aux)), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.d_params)
+            zero_aux = (jnp.zeros(()),) * 4
+            (g_acc, aux_acc), _ = jax.lax.scan(micro, (zero_g, zero_aux), xs)
+            grads = jax.tree.map(lambda g: g / M, g_acc)
+            aux = jax.tree.map(lambda a: a / M, aux_acc)
+            updates, d_opt = d_tx.update(grads, state.d_opt_state,
+                                         state.d_params)
             d_params = optax.apply_updates(state.d_params, updates)
             return state.replace(d_params=d_params, d_opt_state=d_opt), aux
 
@@ -212,9 +291,58 @@ class WGANGPEngine:
             g_params = optax.apply_updates(state.g_params, updates)
             return state.replace(g_params=g_params, g_opt_state=g_opt), gl
 
+        def gen_update_accum(state, real, cond, key):
+            M = t.grad_accum
+            kz, kd1, kd2 = jax.random.split(key, 3)
+            z = jax.random.normal(kz, (real.shape[0], m.latent_dim))
+            d_cvec = None
+            if reuse and cond is not None:
+                # as in gen_update: no generator gradient flows through the
+                # critic's fusion, so one full-batch embedding serves all
+                # microbatches (sliced per m)
+                d_cvec = disc.apply(
+                    {"params": state.d_params}, cond, deterministic=False,
+                    rngs={"dropout": kd2}, method="embed_cond")
+            xs = (jnp.arange(M), _regroup(z), _regroup_tree(cond),
+                  _regroup(d_cvec))
+
+            def micro(carry, xs_m):
+                gl_acc, g_acc = carry
+                i, z_m, cond_m, d_cvec_m = xs_m
+
+                def loss_fn(g_params):
+                    fake = gen_fwd(g_params, z_m, cond_m,
+                                   jax.random.fold_in(kd1, i))
+                    if d_cvec_m is not None:
+                        scores = disc.apply({"params": state.d_params}, fake,
+                                            d_cvec_m, method="score")
+                    else:
+                        scores = disc_fwd(state.d_params, fake, cond_m,
+                                          jax.random.fold_in(kd2, i))
+                    return losses.g_loss(scores)
+
+                gl, grads = jax.value_and_grad(loss_fn)(state.g_params)
+                return (gl_acc + gl, _tree_add(g_acc, grads)), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.g_params)
+            (gl_acc, g_acc), _ = jax.lax.scan(
+                micro, (jnp.zeros(()), zero_g), xs)
+            grads = jax.tree.map(lambda g: g / M, g_acc)
+            updates, g_opt = g_tx.update(grads, state.g_opt_state,
+                                         state.g_params)
+            g_params = optax.apply_updates(state.g_params, updates)
+            return state.replace(g_params=g_params, g_opt_state=g_opt), gl_acc / M
+
+        critic_up = critic_update_accum if t.grad_accum > 1 else critic_update
+        gen_up = gen_update_accum if t.grad_accum > 1 else gen_update
+
         def train_step(state: GANTrainState, batch: Dict[str, Any]):
             real = batch["genes"]
             cond = cond_of(batch)
+            if t.grad_accum > 1 and real.shape[0] % t.grad_accum:
+                raise ValueError(
+                    f"batch size {real.shape[0]} is not divisible by "
+                    f"train.grad_accum={t.grad_accum}")
             key = jax.random.fold_in(state.key, state.step)
             # the extra key only exists in reuse mode so the per_call RNG
             # stream is unchanged from the reference-parity path
@@ -234,7 +362,7 @@ class WGANGPEngine:
                 # `critic_scan` docstring). `keys` is a key array; slicing
                 # it yields the scan's per-iteration xs.
                 def critic_body(st, k):
-                    return critic_update(st, real, cond, k, g_cvec)
+                    return critic_up(st, real, cond, k, g_cvec)
 
                 state, d_auxs = jax.lax.scan(
                     critic_body, state, keys[:t.n_critic])
@@ -242,9 +370,9 @@ class WGANGPEngine:
             else:
                 d_aux = None
                 for i in range(t.n_critic):
-                    state, d_aux = critic_update(
+                    state, d_aux = critic_up(
                         state, real, cond, keys[i], g_cvec)
-            state, gl = gen_update(state, real, cond, keys[t.n_critic])
+            state, gl = gen_up(state, real, cond, keys[t.n_critic])
             if state.g_ema is not None:
                 d = t.ema_decay
                 state = state.replace(g_ema=jax.tree.map(

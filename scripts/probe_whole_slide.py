@@ -33,7 +33,10 @@ TEXT_DIM = 768
 
 def probe(n_patches: int, scan_len: int = 4, n_calls: int = 4,
           remat_layers: bool = False, reuse: bool = False,
-          mxu_bf16: bool = False) -> float:
+          mxu_bf16: bool = False, batch: int = B,
+          grad_accum: int = 1) -> float:
+    import dataclasses
+
     import jax
 
     from gemm_gan_tpu.config import variant_config
@@ -42,19 +45,22 @@ def probe(n_patches: int, scan_len: int = 4, n_calls: int = 4,
     cfg = variant_config(
         "film_cross_attention", n_genes=N_GENES,
         fusion_kw=dict(remat_layers=remat_layers, flash_mxu_bf16=mxu_bf16))
+    train_kw = {}
     if reuse:
-        import dataclasses
+        train_kw["cond_embed_reuse"] = "per_update"
+    if grad_accum > 1:
+        train_kw["grad_accum"] = grad_accum
+    if train_kw:
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           cond_embed_reuse="per_update"))
+            cfg, train=dataclasses.replace(cfg.train, **train_kw))
     eng = WGANGPEngine(cfg, steps_per_epoch=100)
     rng = np.random.RandomState(0)
     batch = {
-        "genes": rng.randn(B, N_GENES).astype(np.float32),
-        "tokens": rng.randn(B, N_TOKENS, TEXT_DIM).astype(np.float32),
-        "token_mask": np.ones((B, N_TOKENS), dtype=bool),
-        "patches": rng.randn(B, n_patches, PATCH_DIM).astype(np.float32),
-        "patch_mask": np.ones((B, n_patches), dtype=bool),
+        "genes": rng.randn(batch, N_GENES).astype(np.float32),
+        "tokens": rng.randn(batch, N_TOKENS, TEXT_DIM).astype(np.float32),
+        "token_mask": np.ones((batch, N_TOKENS), dtype=bool),
+        "patches": rng.randn(batch, n_patches, PATCH_DIM).astype(np.float32),
+        "patch_mask": np.ones((batch, n_patches), dtype=bool),
     }
     stacked = {k: jax.device_put(np.broadcast_to(v, (scan_len,) + v.shape).copy())
                for k, v in batch.items()}
@@ -79,19 +85,33 @@ def main():
     reuse = "reuse" in args           # cond_embed_reuse="per_update"
     remat = "remat" in args           # fusion.remat_layers=True
     bf16 = "bf16mxu" in args          # fusion.flash_mxu_bf16=True
-    sizes = [int(a) for a in args if a.isdigit()] or [4096, 8192, 16384]
+    batch = B                         # batch=N
+    accum = 1                         # accum=M (train.grad_accum)
+    scan_len, n_calls = 4, 4          # scan=K calls=C
+    sizes = []
+    for a in args:
+        if a.startswith("batch="):
+            batch = int(a.split("=", 1)[1])
+        elif a.startswith("accum="):
+            accum = int(a.split("=", 1)[1])
+        elif a.startswith("scan="):
+            scan_len = int(a.split("=", 1)[1])
+        elif a.startswith("calls="):
+            n_calls = int(a.split("=", 1)[1])
+        elif a.isdigit():
+            sizes.append(int(a))
+    sizes = sizes or [4096, 8192, 16384]
     for p in sizes:
+        tag = {"metric": "wgan_gp_steps_per_sec", "n_patches": p,
+               "batch": batch, "grad_accum": accum, "reuse": reuse,
+               "remat": remat, "mxu_bf16": bf16}
         try:
-            sps = probe(p, remat_layers=remat, reuse=reuse, mxu_bf16=bf16)
-            print(json.dumps({"metric": "wgan_gp_steps_per_sec",
-                              "n_patches": p, "reuse": reuse, "remat": remat,
-                              "mxu_bf16": bf16, "value": round(sps, 2)}),
-                  flush=True)
+            sps = probe(p, scan_len=scan_len, n_calls=n_calls,
+                        remat_layers=remat, reuse=reuse, mxu_bf16=bf16,
+                        batch=batch, grad_accum=accum)
+            print(json.dumps({**tag, "value": round(sps, 3)}), flush=True)
         except Exception as e:  # OOM at the single-chip ceiling is expected
-            print(json.dumps({"metric": "wgan_gp_steps_per_sec",
-                              "n_patches": p, "reuse": reuse, "remat": remat,
-                              "mxu_bf16": bf16, "error": repr(e)[:200]}),
-                  flush=True)
+            print(json.dumps({**tag, "error": repr(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -18,10 +18,20 @@ def test_train_parser_flags():
         "--normalization", "standardize", "--mesh_data", "2",
         "--mesh_model", "2", "--compute_dtype", "bfloat16",
         "--cond_embed_reuse", "per_update", "--ema_decay", "0.99",
-        "--drift_epsilon", "1e-3", "--critic_scan",
+        "--drift_epsilon", "1e-3", "--critic_scan", "--grad_accum", "4",
         "--profile_dir", "/tmp/p", "--profile_epochs", "2",
         "--checkpoint_every_eval", "--resume"])
     assert a.critic_scan and a.resume and a.profile_epochs == 2
+    assert a.grad_accum == 4
+
+
+def test_export_parser_flags():
+    from gemm_gan_tpu.cli.export import build_parser
+
+    a = build_parser().parse_args([
+        "--ckpt_dir", "c", "--out", "o", "--platforms", "tpu",
+        "--batch", "64", "--use_ema", "--use_pallas", "on", "--seed", "1"])
+    assert a.use_ema and a.use_pallas == "on" and a.batch == "64"
 
 
 def test_sample_parser_flags():
