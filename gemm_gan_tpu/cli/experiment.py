@@ -56,6 +56,18 @@ def _balanced_indices(disease: np.ndarray, max_oversample: int, rng) -> np.ndarr
 
 class Experiment:
     def __init__(self, cfg: ExperimentConfig, splits: Dict, mesh=None):
+        import jax
+
+        if jax.process_count() > 1:
+            # the reference experiment protocol (validation regeneration,
+            # npy dumps, host classifier suites) is inherently single-host;
+            # running it per-process would duplicate every sample. Multi-host
+            # training goes through the engine API directly.
+            raise NotImplementedError(
+                "Experiment is single-host; for multi-host training drive "
+                "WGANGPEngine.step/fit with process-sharded Batches("
+                "process_index=jax.process_index(), process_count="
+                "jax.process_count()) — see docs/scaling.md")
         self.cfg = cfg
         self.splits = splits
         t = cfg.train

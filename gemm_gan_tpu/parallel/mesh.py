@@ -17,12 +17,31 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def distributed_init():
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
     """Initialize multi-host JAX if launched under a multi-process runtime.
 
-    Safe to call unconditionally: no-ops for single-process runs.
+    Safe to call unconditionally: no-ops for single-process runs without
+    coordinator configuration. Two launch modes:
+
+    - managed (TPU pods, SLURM, etc.): the runtime exports
+      `JAX_COORDINATOR_ADDRESS`/`COORDINATOR_ADDRESS` and process topology;
+      `jax.distributed.initialize()` autodetects everything.
+    - manual: pass `coordinator_address` ("host:port" of process 0),
+      `num_processes`, and this process's `process_id` explicitly.
+
+    After init, `jax.devices()` is the GLOBAL device list (build the mesh
+    from it as usual) and each process feeds the engine its own data shard
+    — `Batches(process_index=jax.process_index(),
+    process_count=jax.process_count())`; the engine assembles global
+    batches per-host via `parallel.sharding.place_batch`.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    if coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     ):
         jax.distributed.initialize()

@@ -32,7 +32,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gemm_gan_tpu.config import ExperimentConfig
 from gemm_gan_tpu.models.gan import Critic, Generator
-from gemm_gan_tpu.parallel.sharding import batch_sharding, param_shardings
+from gemm_gan_tpu.parallel.sharding import (batch_sharding, param_shardings,
+                                            place_batch, place_global)
 from gemm_gan_tpu.train import losses
 from gemm_gan_tpu.train.schedules import make_optimizer
 from gemm_gan_tpu.train.state import GANTrainState
@@ -80,18 +81,23 @@ class WGANGPEngine:
             g_params, d_params, self.g_tx.init(g_params), self.d_tx.init(d_params),
             krun, g_ema=g_ema)
         if self.mesh is not None:
+            # place_global = device_put on a single-process mesh; on a
+            # multi-process mesh it routes through host data (every process
+            # built the identical state from the same seed)
             gs = param_shardings(self.mesh, state.g_params, cfg.model.n_genes)
             ds = param_shardings(self.mesh, state.d_params, cfg.model.n_genes)
             rep = NamedSharding(self.mesh, P())
             state = state.replace(
-                g_params=jax.tree.map(jax.device_put, state.g_params, gs),
-                d_params=jax.tree.map(jax.device_put, state.d_params, ds),
-                g_opt_state=jax.device_put(state.g_opt_state, rep),
-                d_opt_state=jax.device_put(state.d_opt_state, rep),
-                step=jax.device_put(state.step, rep),
-                key=jax.device_put(state.key, rep),
+                g_params=jax.tree.map(place_global, state.g_params, gs),
+                d_params=jax.tree.map(place_global, state.d_params, ds),
+                g_opt_state=jax.tree.map(lambda x: place_global(x, rep),
+                                         state.g_opt_state),
+                d_opt_state=jax.tree.map(lambda x: place_global(x, rep),
+                                         state.d_opt_state),
+                step=place_global(state.step, rep),
+                key=place_global(state.key, rep),
                 g_ema=(None if state.g_ema is None else
-                       jax.tree.map(jax.device_put, state.g_ema, gs)),
+                       jax.tree.map(place_global, state.g_ema, gs)),
             )
         return state
 
@@ -394,8 +400,9 @@ class WGANGPEngine:
             self._train_step = jax.jit(self._build_train_step(),
                                        donate_argnums=(0,))
         if self.mesh is not None:
-            sb = batch_sharding(self.mesh)
-            batch = {k: jax.device_put(v, sb) for k, v in batch.items()}
+            # on a multi-process mesh `batch` is this process's local shard
+            # (per-host input); single-process it is the full global batch
+            batch = place_batch(self.mesh, batch)
         return self._train_step(state, batch)
 
     def step_many(self, state: GANTrainState, stacked: Dict[str, Any]):
@@ -415,8 +422,8 @@ class WGANGPEngine:
 
             self._train_many = jax.jit(many, donate_argnums=(0,))
         if self.mesh is not None:
-            sb = NamedSharding(self.mesh, P(None, "data"))
-            stacked = {k: jax.device_put(v, sb) for k, v in stacked.items()}
+            stacked = place_batch(self.mesh, stacked,
+                                  NamedSharding(self.mesh, P(None, "data")))
         return self._train_many(state, stacked)
 
     def step_many_cached(self, state: GANTrainState, cache,
@@ -467,9 +474,11 @@ class WGANGPEngine:
         arrays = cache.arrays
         if self.mesh is not None:
             # replicate the bank over the mesh (no-op once placed); the
-            # in-scan gather then feeds the data-sharded batch constraint
+            # in-scan gather then feeds the data-sharded batch constraint.
+            # place_global: on a multi-process mesh the (process-identical)
+            # bank goes through host data
             rep = NamedSharding(self.mesh, P())
-            arrays = {k: jax.device_put(v, rep) for k, v in arrays.items()}
+            arrays = {k: place_global(v, rep) for k, v in arrays.items()}
         idx, keys = cache.epoch_spec(epoch)
         return fn(state, arrays, idx, keys)
 

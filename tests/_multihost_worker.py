@@ -1,0 +1,69 @@
+"""Subprocess worker for the multi-process (multi-host) integration test.
+
+Each worker is ONE JAX process with 2 virtual CPU devices; two workers form
+a 4-device global mesh via `distributed_init` (Gloo-backed CPU collectives).
+Each feeds the engine its OWN `Batches` process shard — the per-host input
+convention of `parallel.sharding.place_batch` — runs a few fused WGAN-GP
+steps, and dumps the final (replicated) params for the parent to compare
+against a single-process run on the concatenated global batch.
+
+Argv: coordinator_port process_id num_processes out_dir
+"""
+
+import os
+import sys
+
+
+def main():
+    port, pid, nproc, out_dir = sys.argv[1:5]
+    pid, nproc = int(pid), int(nproc)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.dirname(tests_dir))  # repo root: gemm_gan_tpu
+    sys.path.insert(0, tests_dir)                   # conftest (tiny_cfg)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from gemm_gan_tpu.parallel.mesh import distributed_init, make_mesh
+
+    distributed_init(coordinator_address=f"localhost:{port}",
+                     num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+    import numpy as np
+
+    from conftest import tiny_cfg
+
+    from gemm_gan_tpu.data.loader import Batches
+    from gemm_gan_tpu.data.synthetic import synthetic_dataset
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    genes = synthetic_dataset(n=32, n_genes=24, seed=1)["genes"]
+    loader = Batches({"genes": genes}, batch_size=4, seed=0, shuffle=False,
+                     process_index=jax.process_index(),
+                     process_count=jax.process_count())
+    mesh = make_mesh(data=2 * nproc, model=1)
+    cfg = tiny_cfg("vanilla")
+    eng = WGANGPEngine(cfg, steps_per_epoch=len(loader), mesh=mesh)
+    batch = next(iter(loader))
+    state = eng.init_state(0, batch)
+    metrics = None
+    for _ in range(3):
+        state, metrics = eng.step(state, batch)
+
+    leaves = jax.tree_util.tree_leaves_with_path(
+        (state.g_params, state.d_params))
+    flat = {jax.tree_util.keystr(path): np.asarray(jax.device_get(leaf))
+            for path, leaf in leaves}
+    flat["__d_loss__"] = np.asarray(float(metrics["d_loss"]))
+    np.savez(os.path.join(out_dir, f"params_{pid}.npz"), **flat)
+    print(f"worker {pid}: OK d_loss={float(metrics['d_loss']):.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Multi-process (multi-host) data-parallel training — real 2-process test.
+
+The reference has no distributed backend at all (SURVEY.md §2.5); the
+multi-host story here is `parallel.mesh.distributed_init` + per-host input
+shards assembled by `parallel.sharding.place_batch`. This test launches TWO
+actual JAX processes (2 virtual CPU devices each, Gloo collectives), trains
+the vanilla WGAN-GP for 3 fused steps on a 4-device global mesh with each
+process feeding only its own `Batches` shard, and checks:
+
+- both processes end with identical (replicated) params, and
+- those params match a single-process 4-device run on the concatenated
+  global batch (same placement `place_batch` produces multi-process:
+  [proc0 rows, proc1 rows]).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "_multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(i), "2", str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    got = [dict(np.load(tmp_path / f"params_{i}.npz")) for i in range(2)]
+    for k in got[0]:
+        np.testing.assert_allclose(got[0][k], got[1][k], rtol=0, atol=0,
+                                   err_msg=f"rank disagreement on {k}")
+
+    # single-process reference on this process's own 4 virtual devices, fed
+    # the concatenated global batch in place_batch's multi-process layout
+    import jax
+
+    from conftest import tiny_cfg
+    from gemm_gan_tpu.data.loader import Batches
+    from gemm_gan_tpu.data.synthetic import synthetic_dataset
+    from gemm_gan_tpu.parallel.mesh import make_mesh
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    genes = synthetic_dataset(n=32, n_genes=24, seed=1)["genes"]
+    shards = [next(iter(Batches({"genes": genes}, batch_size=4, seed=0,
+                                shuffle=False, process_index=i,
+                                process_count=2)))["genes"]
+              for i in range(2)]
+    batch = {"genes": np.concatenate(shards)}
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    cfg = tiny_cfg("vanilla")
+    eng = WGANGPEngine(cfg, steps_per_epoch=8, mesh=mesh)
+    state = eng.init_state(0, batch)
+    metrics = None
+    for _ in range(3):
+        state, metrics = eng.step(state, batch)
+
+    ref = {jax.tree_util.keystr(path): np.asarray(jax.device_get(leaf))
+           for path, leaf in jax.tree_util.tree_leaves_with_path(
+               (state.g_params, state.d_params))}
+    for k, v in ref.items():
+        # Gloo cross-process allreduce vs single-process XLA reduce can
+        # differ in fp summation order; params stay within fp tolerance
+        np.testing.assert_allclose(got[0][k], v, rtol=5e-4, atol=1e-5,
+                                   err_msg=k)
+    np.testing.assert_allclose(got[0]["__d_loss__"],
+                               float(metrics["d_loss"]), rtol=5e-4, atol=1e-5)
