@@ -7,7 +7,11 @@ convention of `parallel.sharding.place_batch` — runs a few fused WGAN-GP
 steps, and dumps the final (replicated) params for the parent to compare
 against a single-process run on the concatenated global batch.
 
-Argv: coordinator_port process_id num_processes out_dir
+Argv: coordinator_port process_id num_processes out_dir [model_axis]
+
+model_axis=2 exercises the TP composition: the 4 global devices form a
+(data=2, model=2) mesh, so the gene-dim tensor-parallel param shardings and
+their collectives run across the multi-process placement path too.
 """
 
 import os
@@ -16,6 +20,7 @@ import sys
 
 def main():
     port, pid, nproc, out_dir = sys.argv[1:5]
+    model_ax = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     pid, nproc = int(pid), int(nproc)
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -47,7 +52,8 @@ def main():
     loader = Batches({"genes": genes}, batch_size=4, seed=0, shuffle=False,
                      process_index=jax.process_index(),
                      process_count=jax.process_count())
-    mesh = make_mesh(data=2 * nproc, model=1)
+    flat_name = f"params_{pid}" if model_ax == 1 else f"params_tp_{pid}"
+    mesh = make_mesh(data=2 * nproc // model_ax, model=model_ax)
     cfg = tiny_cfg("vanilla")
     eng = WGANGPEngine(cfg, steps_per_epoch=len(loader), mesh=mesh)
     batch = next(iter(loader))
@@ -61,7 +67,7 @@ def main():
     flat = {jax.tree_util.keystr(path): np.asarray(jax.device_get(leaf))
             for path, leaf in leaves}
     flat["__d_loss__"] = np.asarray(float(metrics["d_loss"]))
-    np.savez(os.path.join(out_dir, f"params_{pid}.npz"), **flat)
+    np.savez(os.path.join(out_dir, flat_name + ".npz"), **flat)
     print(f"worker {pid}: OK d_loss={float(metrics['d_loss']):.5f}")
 
 

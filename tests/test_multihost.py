@@ -30,11 +30,12 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_dp_matches_single_process(tmp_path):
+def _spawn_workers(tmp_path, model_ax):
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(i), "2", str(tmp_path)],
+            [sys.executable, WORKER, str(port), str(i), "2", str(tmp_path),
+             str(model_ax)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
@@ -49,14 +50,13 @@ def test_two_process_dp_matches_single_process(tmp_path):
                 p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+    stem = "params" if model_ax == 1 else "params_tp"
+    return [dict(np.load(tmp_path / f"{stem}_{i}.npz")) for i in range(2)]
 
-    got = [dict(np.load(tmp_path / f"params_{i}.npz")) for i in range(2)]
-    for k in got[0]:
-        np.testing.assert_allclose(got[0][k], got[1][k], rtol=0, atol=0,
-                                   err_msg=f"rank disagreement on {k}")
 
-    # single-process reference on this process's own 4 virtual devices, fed
-    # the concatenated global batch in place_batch's multi-process layout
+def _single_process_reference(model_ax):
+    """The same 3 steps on this process's own 4 virtual devices, fed the
+    concatenated global batch in place_batch's multi-process layout."""
     import jax
 
     from conftest import tiny_cfg
@@ -71,21 +71,40 @@ def test_two_process_dp_matches_single_process(tmp_path):
                                 process_count=2)))["genes"]
               for i in range(2)]
     batch = {"genes": np.concatenate(shards)}
-    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    mesh = make_mesh(data=4 // model_ax, model=model_ax,
+                     devices=jax.devices()[:4])
     cfg = tiny_cfg("vanilla")
     eng = WGANGPEngine(cfg, steps_per_epoch=8, mesh=mesh)
     state = eng.init_state(0, batch)
     metrics = None
     for _ in range(3):
         state, metrics = eng.step(state, batch)
-
     ref = {jax.tree_util.keystr(path): np.asarray(jax.device_get(leaf))
            for path, leaf in jax.tree_util.tree_leaves_with_path(
                (state.g_params, state.d_params))}
+    ref["__d_loss__"] = np.asarray(float(metrics["d_loss"]))
+    return ref
+
+
+def _check(got, ref):
+    for k in got[0]:
+        np.testing.assert_allclose(got[0][k], got[1][k], rtol=0, atol=0,
+                                   err_msg=f"rank disagreement on {k}")
     for k, v in ref.items():
         # Gloo cross-process allreduce vs single-process XLA reduce can
         # differ in fp summation order; params stay within fp tolerance
         np.testing.assert_allclose(got[0][k], v, rtol=5e-4, atol=1e-5,
                                    err_msg=k)
-    np.testing.assert_allclose(got[0]["__d_loss__"],
-                               float(metrics["d_loss"]), rtol=5e-4, atol=1e-5)
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    _check(_spawn_workers(tmp_path, model_ax=1),
+           _single_process_reference(model_ax=1))
+
+
+def test_two_process_dp_tp_matches_single_process(tmp_path):
+    """(data=2, model=2): DP across the two processes, gene-dim tensor
+    parallelism within each — TP param placement and its collectives ride
+    the multi-process path too."""
+    _check(_spawn_workers(tmp_path, model_ax=2),
+           _single_process_reference(model_ax=2))
