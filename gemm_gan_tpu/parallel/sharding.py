@@ -53,7 +53,8 @@ def place_global(x: Any, sharding: NamedSharding):
     return jax.device_put(np.asarray(x), sharding)
 
 
-def place_batch(mesh: Mesh, batch: Any, sharding: NamedSharding = None):
+def place_batch(mesh: Mesh, batch: Any, sharding: NamedSharding = None,
+                expected_global_rows: int = None):
     """Place a host batch dict on the mesh.
 
     Single-process mesh (every device addressable): `jax.device_put` of the
@@ -65,12 +66,29 @@ def place_batch(mesh: Mesh, batch: Any, sharding: NamedSharding = None):
     so input loading stays per-host with no cross-host data traffic
     (SURVEY.md §2.5 consequence 4: per-host sharded input). Values that are
     already jax Arrays (e.g. assembled upstream) pass through untouched.
+
+    `expected_global_rows` (multi-process only): the global batch size the
+    assembled leading axis must equal. Catches the silent-corruption misuse
+    of feeding the FULL global batch as a process-local shard — every sample
+    would be duplicated `process_count` times with no error otherwise.
     """
     sb = batch_sharding(mesh) if sharding is None else sharding
     if sb.is_fully_addressable:
         return {k: jax.device_put(v, sb) for k, v in batch.items()}
     import numpy as np
 
+    if expected_global_rows is not None:
+        n = jax.process_count()
+        for k, v in batch.items():
+            rows = getattr(v, "shape", (None,))[0]
+            if (rows is not None and not isinstance(v, jax.Array)
+                    and rows * n != expected_global_rows):
+                raise ValueError(
+                    f"batch[{k!r}] has {rows} local rows on each of {n} "
+                    f"processes -> {rows * n} global, expected "
+                    f"{expected_global_rows}. On a multi-process mesh pass "
+                    "each process's OWN shard (Batches(process_index=..., "
+                    "process_count=...)), not the full global batch.")
     return {k: (v if isinstance(v, jax.Array)
                 else jax.make_array_from_process_local_data(sb, np.asarray(v)))
             for k, v in batch.items()}

@@ -228,6 +228,11 @@ class WGANGPEngine:
                     else jnp.zeros(()))
             alpha = jax.random.uniform(ka, (real.shape[0], 1),
                                        dtype=real.dtype)
+            # real.dtype == fake.dtype == f32 always (the trunk's output
+            # Dense is pinned float32 even under bf16 compute, ops/mlp.py),
+            # so these draws match the direct path's augment(x, key, gate)
+            # draws in x.dtype bit-for-bit; pinned by
+            # test_generator_output_f32_under_bf16_compute
             noise_f = (jax.random.normal(kn1, real.shape, real.dtype)
                        * t.norm_scale if t.p_aug > 0 else None)
             noise_r = (jax.random.normal(kn2, real.shape, real.dtype)
@@ -402,7 +407,8 @@ class WGANGPEngine:
         if self.mesh is not None:
             # on a multi-process mesh `batch` is this process's local shard
             # (per-host input); single-process it is the full global batch
-            batch = place_batch(self.mesh, batch)
+            batch = place_batch(self.mesh, batch,
+                                expected_global_rows=self.cfg.train.batch_size)
         return self._train_step(state, batch)
 
     def step_many(self, state: GANTrainState, stacked: Dict[str, Any]):
@@ -473,11 +479,20 @@ class WGANGPEngine:
             self._train_many_cached[cache] = fn
         arrays = cache.arrays
         if self.mesh is not None:
-            # replicate the bank over the mesh (no-op once placed); the
-            # in-scan gather then feeds the data-sharded batch constraint.
-            # place_global: on a multi-process mesh the (process-identical)
-            # bank goes through host data
             rep = NamedSharding(self.mesh, P())
+            if not rep.is_fully_addressable:
+                # The bank and epoch_spec arrays are process-local; routing
+                # the bank through place_global's host branch would re-upload
+                # the whole HBM bank every epoch (and the jitted scan would
+                # still reject the process-local idx/keys). Multi-process
+                # runs use the per-host `step()` / `step_many` paths.
+                raise NotImplementedError(
+                    "step_many_cached supports single-process meshes only; "
+                    "on a multi-process mesh use step()/step_many with "
+                    "per-host input shards")
+            # replicate the bank over the mesh (a metadata no-op once
+            # placed); the in-scan gather then feeds the data-sharded batch
+            # constraint
             arrays = {k: place_global(v, rep) for k, v in arrays.items()}
         idx, keys = cache.epoch_spec(epoch)
         return fn(state, arrays, idx, keys)

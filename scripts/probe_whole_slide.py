@@ -33,7 +33,7 @@ TEXT_DIM = 768
 
 def probe(n_patches: int, scan_len: int = 4, n_calls: int = 4,
           remat_layers: bool = False, reuse: bool = False,
-          mxu_bf16: bool = False, batch: int = B,
+          mxu_bf16: bool = False, batch_size: int = B,
           grad_accum: int = 1) -> float:
     import dataclasses
 
@@ -56,11 +56,11 @@ def probe(n_patches: int, scan_len: int = 4, n_calls: int = 4,
     eng = WGANGPEngine(cfg, steps_per_epoch=100)
     rng = np.random.RandomState(0)
     batch = {
-        "genes": rng.randn(batch, N_GENES).astype(np.float32),
-        "tokens": rng.randn(batch, N_TOKENS, TEXT_DIM).astype(np.float32),
-        "token_mask": np.ones((batch, N_TOKENS), dtype=bool),
-        "patches": rng.randn(batch, n_patches, PATCH_DIM).astype(np.float32),
-        "patch_mask": np.ones((batch, n_patches), dtype=bool),
+        "genes": rng.randn(batch_size, N_GENES).astype(np.float32),
+        "tokens": rng.randn(batch_size, N_TOKENS, TEXT_DIM).astype(np.float32),
+        "token_mask": np.ones((batch_size, N_TOKENS), dtype=bool),
+        "patches": rng.randn(batch_size, n_patches, PATCH_DIM).astype(np.float32),
+        "patch_mask": np.ones((batch_size, n_patches), dtype=bool),
     }
     stacked = {k: jax.device_put(np.broadcast_to(v, (scan_len,) + v.shape).copy())
                for k, v in batch.items()}
@@ -108,7 +108,7 @@ def main():
         try:
             sps = probe(p, scan_len=scan_len, n_calls=n_calls,
                         remat_layers=remat, reuse=reuse, mxu_bf16=bf16,
-                        batch=batch, grad_accum=accum)
+                        batch_size=batch, grad_accum=accum)
             print(json.dumps({**tag, "value": round(sps, 3)}), flush=True)
         except Exception as e:  # OOM at the single-chip ceiling is expected
             print(json.dumps({**tag, "error": repr(e)[:200]}), flush=True)

@@ -101,3 +101,24 @@ def test_accum_on_data_parallel_mesh(tiny_data, make_tiny_cfg):
     for k in m1:
         np.testing.assert_allclose(m1[k], m2[k], rtol=5e-4, atol=1e-5,
                                    err_msg=k)
+
+
+def test_generator_output_f32_under_bf16_compute(make_tiny_cfg):
+    """Pins the invariant the accumulated instance-noise draws rely on:
+    the trunk's output Dense is float32 even under bf16 compute
+    (ops/mlp.py), so fake.dtype == real.dtype == f32 and the accum path's
+    `normal(kn1, real.shape, real.dtype)` matches the direct path's
+    `normal(kn1, fake.shape, fake.dtype)` bit-for-bit (train/wgan.py)."""
+    import dataclasses
+
+    from gemm_gan_tpu.models.gan import Generator
+
+    cfg = make_tiny_cfg("vanilla")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
+    gen = Generator(cfg.model)
+    z = np.zeros((2, cfg.model.latent_dim), dtype=np.float32)
+    params = gen.init({"params": jax.random.key(0)}, z, None,
+                      deterministic=True)
+    out = gen.apply(params, z, None, deterministic=True)
+    assert out.dtype == np.float32, out.dtype

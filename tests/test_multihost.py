@@ -74,7 +74,11 @@ def _single_process_reference(model_ax):
     mesh = make_mesh(data=4 // model_ax, model=model_ax,
                      devices=jax.devices()[:4])
     cfg = tiny_cfg("vanilla")
-    eng = WGANGPEngine(cfg, steps_per_epoch=8, mesh=mesh)
+    # steps_per_epoch must match the workers' len(loader)=4 (32 samples /
+    # 8 global batch): the LR halving schedule is a function of
+    # step // steps_per_epoch, so a mismatch here would surface as a fake
+    # "collectives divergence" once the test runs enough steps to halve
+    eng = WGANGPEngine(cfg, steps_per_epoch=4, mesh=mesh)
     state = eng.init_state(0, batch)
     metrics = None
     for _ in range(3):
