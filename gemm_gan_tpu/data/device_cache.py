@@ -34,6 +34,29 @@ def _subsample_patches(patches, mask, key, num_patches: int):
     return sub * sub_mask[..., None], sub_mask
 
 
+def _assemble_batch(arrays, idx, key, resample, num_patches, narrowed):
+    """Gather + per-item patch subsample + widen: one batch from a bank.
+
+    Shared by `DeviceCache` (replicated bank, global idx) and
+    `ShardedDeviceCache` (called inside shard_map on each data shard's
+    local bank slice with local idx and a per-shard key)."""
+    batch = {k: jnp.take(a, idx, axis=0) for k, a in arrays.items()}
+    # subsample BEFORE widening: on whole-slide banks the gathered
+    # [B, P_full, D] rows dwarf the [B, num_patches, D] subset, and
+    # casting first would materialize the full-width f32 copy the
+    # narrow store exists to avoid
+    if resample:
+        batch["patches"], batch["patch_mask"] = _subsample_patches(
+            batch["patches"], batch["patch_mask"], key,
+            num_patches=num_patches)
+    # batches always leave the cache in f32: the narrow store dtype
+    # is an HBM-residency optimization, not a compute precision
+    # choice (bf16 compute risks WGAN critic stability)
+    for k in narrowed:
+        batch[k] = batch[k].astype(jnp.float32)
+    return batch
+
+
 class DeviceCache:
     """Device-resident analogue of `Batches` (same epoch/iter contract)."""
 
@@ -88,21 +111,8 @@ class DeviceCache:
         narrowed = frozenset(self._narrowed)
 
         def assemble(arrays, idx, key):
-            batch = {k: jnp.take(a, idx, axis=0) for k, a in arrays.items()}
-            # subsample BEFORE widening: on whole-slide banks the gathered
-            # [B, P_full, D] rows dwarf the [B, num_patches, D] subset, and
-            # casting first would materialize the full-width f32 copy the
-            # narrow store exists to avoid
-            if resample:
-                batch["patches"], batch["patch_mask"] = _subsample_patches(
-                    batch["patches"], batch["patch_mask"], key,
-                    num_patches=num_patches)
-            # batches always leave the cache in f32: the narrow store dtype
-            # is an HBM-residency optimization, not a compute precision
-            # choice (bf16 compute risks WGAN critic stability)
-            for k in narrowed:
-                batch[k] = batch[k].astype(jnp.float32)
-            return batch
+            return _assemble_batch(arrays, idx, key, resample, num_patches,
+                                   narrowed)
 
         jit_one = jax.jit(assemble)
         # one jitted stacked assembler (a fresh vmap per call would retrace
@@ -188,3 +198,168 @@ class DeviceCache:
         batch inside the scan body instead."""
         idx, keys = self.epoch_spec(epoch)
         return self._assemble_many(idx, keys)
+
+
+def _shard_map():
+    try:
+        from jax import shard_map
+
+        return shard_map, {"check_vma": False}
+    except ImportError:  # older jax spells it check_rep under experimental
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map, {"check_rep": False}
+
+
+class ShardedDeviceCache:
+    """`DeviceCache` with the bank SHARDED over the mesh's `data` axis.
+
+    The replicated `DeviceCache` puts the full embedding bank on every
+    chip; at whole-slide scale that is the binding constraint (10k cases ×
+    4,096 × 1024 f32 patches ≈ 170 GB — no chip holds it). Here the case
+    axis shards over `data`: per-chip residency is bank/S, and every
+    per-step gather is LOCAL to its shard (a `shard_map` around the same
+    `_assemble_batch` the replicated cache uses) — zero cross-chip traffic
+    for input assembly, matching the per-host sharded-input design of
+    SURVEY.md §2.5 (consequence 4) at mesh granularity.
+
+    Sampling contract (documented divergence from `DeviceCache`): each data
+    shard draws a fresh without-replacement permutation of ITS OWN cases
+    per epoch (key = fold_in(epoch_key, shard_index), computed on device),
+    so a global batch is S stacked per-shard blocks of `batch_size/S`
+    cases. Same spirit as `Batches(process_index, process_count)` per-host
+    sharding: cases never cross shards; every case is visited exactly once
+    per epoch within its shard. Patch subsampling stays per-item / per-step
+    with per-shard keys.
+
+    Multi-process: each process passes its PROCESS-LOCAL cases; the bank is
+    assembled with `jax.make_array_from_process_local_data` (no cross-host
+    input traffic). Single-process multi-device: pass the global dataset.
+    The epoch's training scan (`WGANGPEngine.step_many_cached`) is one XLA
+    program either way — this is the multi-process form of the streaming
+    scan fit loop, which the replicated cache cannot provide (its bank
+    would re-upload through the host every epoch).
+    """
+
+    def __init__(self, data: Dict[str, np.ndarray], batch_size: int, mesh,
+                 num_patches: Optional[int] = None, seed: int = 42,
+                 embedding_store_dtype=None):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        S = int(mesh.shape["data"])
+        self.data_shards = S
+        if batch_size % S:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"data axis size {S}")
+        self.batch_size = batch_size
+        self.b_shard = batch_size // S
+        self.num_patches = num_patches
+        self.seed = seed
+        self._epoch = 0
+        self._key = jax.random.key(seed)
+
+        sb = NamedSharding(mesh, P("data"))
+        if sb.is_fully_addressable:
+            shards_here = S
+        else:
+            nproc = jax.process_count()
+            if S % nproc:
+                raise ValueError(f"data axis {S} not divisible by "
+                                 f"{nproc} processes")
+            shards_here = S // nproc
+        n_in = len(next(iter(data.values())))
+        for k, v in data.items():
+            assert len(v) == n_in, f"length mismatch for {k}"
+        # equal-size shards are a hard requirement of the single-program
+        # gather; surplus cases are dropped (like Batches drop_remainder)
+        n_keep = (n_in // shards_here) * shards_here
+
+        self._narrowed = set()
+        if embedding_store_dtype is not None:
+            for k in ("patches", "tokens", "text_emb"):
+                if k in data:
+                    self._narrowed.add(k)
+
+        def prep(k, v):
+            v = np.asarray(v)[:n_keep]
+            if k in self._narrowed:
+                v = v.astype(embedding_store_dtype)
+            if sb.is_fully_addressable:
+                return jax.device_put(v, sb)
+            return jax.make_array_from_process_local_data(sb, v)
+
+        self.arrays = {k: prep(k, v) for k, v in data.items()}
+        self.n = int(next(iter(self.arrays.values())).shape[0])
+        self.n_shard = self.n // S
+        if self.n_shard < self.b_shard:
+            raise ValueError(
+                f"{self.n_shard} cases per shard < per-shard batch "
+                f"{self.b_shard} (n={self.n}, data={S})")
+
+        resample = (num_patches is not None and "patches" in self.arrays
+                    and self.arrays["patches"].shape[1] > num_patches)
+        narrowed = frozenset(self._narrowed)
+        shard_map, check_kw = _shard_map()
+        n_shard, b_shard = self.n_shard, self.b_shard
+        P_ = P
+
+        def epoch_perm(ekey):
+            """[n] P('data'): each shard's fresh permutation of ITS cases."""
+
+            def local(k):
+                s = jax.lax.axis_index("data")
+                return jax.random.permutation(jax.random.fold_in(k, s),
+                                              n_shard)
+
+            return shard_map(local, mesh=mesh, in_specs=P_(),
+                             out_specs=P_("data"), **check_kw)(ekey)
+
+        def gather(arrays, perm, ekey, k):
+            """Batch k of the epoch: [batch_size, ...] sharded over data."""
+
+            def local(arrays_l, perm_l, ek, kk):
+                s = jax.lax.axis_index("data")
+                idx = jax.lax.dynamic_slice_in_dim(perm_l, kk * b_shard,
+                                                   b_shard)
+                bk = jax.random.fold_in(jax.random.fold_in(ek, kk), s)
+                return _assemble_batch(arrays_l, idx, bk, resample,
+                                       num_patches, narrowed)
+
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P_("data"), P_("data"), P_(), P_()),
+                out_specs=P_("data"), **check_kw)(arrays, perm, ekey, k)
+
+        # single source of truth for BOTH consumers: the per-batch
+        # iterator below and the engine's streaming epoch scan
+        # (step_many_cached) inline these, so they yield identical batches
+        self.epoch_perm_fn = epoch_perm
+        self.gather_fn = gather
+        self._jit_gather = jax.jit(
+            lambda arrays, ekey, k: gather(arrays, epoch_perm(ekey), ekey, k))
+
+    def seek(self, epoch: int):
+        self._epoch = epoch
+
+    def epoch_base_key(self, epoch: Optional[int] = None):
+        """The epoch's key (drives per-shard perms + subsample keys)."""
+        e = self._epoch if epoch is None else epoch
+        if epoch is None:
+            self._epoch += 1
+        return jax.random.fold_in(self._key, e)
+
+    def __len__(self):
+        return self.n_shard // self.b_shard
+
+    @property
+    def n_full_batches(self) -> int:
+        return len(self)
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[Dict[str, jax.Array]]:
+        ekey = self.epoch_base_key(epoch)
+        for k in range(len(self)):
+            yield self._jit_gather(self.arrays, ekey, jnp.asarray(k))
+
+    def __iter__(self):
+        return self.epoch()

@@ -452,6 +452,10 @@ class WGANGPEngine:
         # cache neither reuses a stale closure nor evicts the previous
         # cache's program (alternating caches would otherwise pay a full
         # remote recompile per switch)
+        from gemm_gan_tpu.data.device_cache import ShardedDeviceCache
+
+        if isinstance(cache, ShardedDeviceCache):
+            return self._step_many_sharded_cache(state, cache, epoch)
         fn = self._train_many_cached.get(cache)
         if fn is None:
             inner = self._build_train_step()
@@ -496,6 +500,41 @@ class WGANGPEngine:
             arrays = {k: place_global(v, rep) for k, v in arrays.items()}
         idx, keys = cache.epoch_spec(epoch)
         return fn(state, arrays, idx, keys)
+
+    def _step_many_sharded_cache(self, state: GANTrainState, cache,
+                                 epoch: Optional[int] = None):
+        """Streaming epoch scan over a `ShardedDeviceCache`: the bank is
+        sharded over the mesh's `data` axis and each scan iteration gathers
+        its batch shard-locally (shard_map inside the scan body) — the
+        multi-process-capable (and HBM-sharded) form of the streaming fit
+        loop. Per-shard sampling contract documented on the cache."""
+        if self.mesh is None or self.mesh != cache.mesh:
+            raise ValueError(
+                "ShardedDeviceCache requires the engine and the cache to "
+                "share one mesh (engine mesh "
+                f"{None if self.mesh is None else self.mesh.shape}, cache "
+                f"mesh {cache.mesh.shape})")
+        fn = self._train_many_cached.get(cache)
+        if fn is None:
+            inner = self._build_train_step()
+            gather = cache.gather_fn
+            perm_fn = cache.epoch_perm_fn
+            K = cache.n_full_batches
+
+            def many(state, arrays, ekey):
+                # one permutation per shard per epoch, computed ON DEVICE;
+                # batches come out of the shard_map already sharded P("data")
+                perm = perm_fn(ekey)
+
+                def body(st, k):
+                    return inner(st, gather(arrays, perm, ekey, k))
+
+                state, ms = jax.lax.scan(body, state, jnp.arange(K))
+                return state, jax.tree.map(lambda m: m[-1], ms)
+
+            fn = jax.jit(many, donate_argnums=(0,))
+            self._train_many_cached[cache] = fn
+        return fn(state, cache.arrays, cache.epoch_base_key(epoch))
 
     # --------------------------------------------------------------- sampling
     def _build_sample(self):

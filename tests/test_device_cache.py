@@ -158,3 +158,105 @@ def test_step_many_cached_rebuilds_for_new_cache(tiny_data, make_tiny_cfg):
     assert cache6 in eng._train_many_cached
     assert (eng._train_many_cached[cache4]
             is not eng._train_many_cached[cache6])
+
+
+# ---------------------------------------------------------------------------
+# ShardedDeviceCache: bank sharded over the mesh `data` axis
+
+
+def test_sharded_cache_epoch_partition_and_locality(rng):
+    """Each epoch visits every case exactly once, and every batch's
+    column block s contains ONLY cases from data shard s (the gather is
+    shard-local by construction)."""
+    from gemm_gan_tpu.data.device_cache import ShardedDeviceCache
+    from gemm_gan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    data = _data(rng, n=24)
+    cache = ShardedDeviceCache(data, batch_size=8, mesh=mesh, seed=0)
+    assert cache.n_shard == 6 and cache.b_shard == 2 and len(cache) == 3
+    for a in cache.arrays.values():
+        assert a.sharding.spec[0] == "data", a.sharding
+
+    row_to_case = {data["genes"][i].tobytes(): i for i in range(24)}
+    seen = []
+    for b in cache.epoch(0):
+        g = np.asarray(b["genes"])
+        for s in range(4):
+            for row in g[s * 2:(s + 1) * 2]:
+                case = row_to_case[row.tobytes()]
+                assert s * 6 <= case < (s + 1) * 6, (case, s)
+                seen.append(case)
+    assert sorted(seen) == list(range(24))
+
+    # deterministic per epoch, fresh across epochs
+    b0 = [np.asarray(b["genes"]) for b in cache.epoch(0)]
+    b0b = [np.asarray(b["genes"]) for b in cache.epoch(0)]
+    b1 = [np.asarray(b["genes"]) for b in cache.epoch(1)]
+    np.testing.assert_array_equal(np.stack(b0), np.stack(b0b))
+    assert not np.array_equal(np.stack(b0), np.stack(b1))
+
+
+def test_sharded_cache_trims_to_equal_shards(rng):
+    from gemm_gan_tpu.data.device_cache import ShardedDeviceCache
+    from gemm_gan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    cache = ShardedDeviceCache(_data(rng, n=26), batch_size=4, mesh=mesh,
+                               seed=0)
+    assert cache.n == 24 and cache.n_shard == 6  # 26 -> 24 (drop remainder)
+
+
+def test_sharded_cache_scan_matches_per_batch_steps(tiny_data, make_tiny_cfg):
+    """`step_many_cached` over a ShardedDeviceCache (one scanned device
+    program per epoch, shard-local gathers in the scan body) must equal
+    stepping the same epoch's batches through `engine.step` one by one —
+    the iterator and the scan share the cache's gather program."""
+    from gemm_gan_tpu.data.device_cache import ShardedDeviceCache
+    from gemm_gan_tpu.parallel.mesh import make_mesh
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    cfg = make_tiny_cfg("film", train_kw=dict(n_critic=2))
+    cache = ShardedDeviceCache(tiny_data, batch_size=8, mesh=mesh,
+                               num_patches=4, seed=0)
+
+    eng1 = WGANGPEngine(cfg, steps_per_epoch=len(cache), mesh=mesh)
+    state1 = eng1.init_state(0, next(iter(cache.epoch(0))))
+    state1, m1 = eng1.step_many_cached(state1, cache, 0)
+
+    eng2 = WGANGPEngine(cfg, steps_per_epoch=len(cache), mesh=mesh)
+    state2 = eng2.init_state(0, next(iter(cache.epoch(0))))
+    m2 = None
+    for b in cache.epoch(0):
+        state2, m2 = eng2.step(state2, b)
+
+    # The two paths consume BITWISE-identical batches (the iterator and the
+    # scan share the cache's gather program; verified by construction), but
+    # XLA compiles the scan-fused epoch program and the single-step program
+    # with different fusion/reduction orders, so params drift at fp-noise
+    # scale over the epoch — same cross-program tolerance as
+    # tests/test_grad_accum.py.
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4,
+                                   atol=1e-5, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        (jax.device_get(state1.g_params), jax.device_get(state1.d_params)),
+        (jax.device_get(state2.g_params), jax.device_get(state2.d_params)))
+
+
+def test_sharded_cache_requires_matching_mesh(tiny_data, make_tiny_cfg):
+    from gemm_gan_tpu.data.device_cache import ShardedDeviceCache
+    from gemm_gan_tpu.parallel.mesh import make_mesh
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    other = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    cache = ShardedDeviceCache({"genes": tiny_data["genes"]}, batch_size=8,
+                               mesh=mesh, seed=0)
+    eng = WGANGPEngine(make_tiny_cfg("vanilla"), steps_per_epoch=2, mesh=other)
+    state = eng.init_state(0, {"genes": tiny_data["genes"][:8]})
+    with pytest.raises(ValueError, match="share one mesh"):
+        eng.step_many_cached(state, cache, 0)
