@@ -30,12 +30,12 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _spawn_workers(tmp_path, model_ax):
+def _spawn_workers(tmp_path, model_ax, mode="step"):
     port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(port), str(i), "2", str(tmp_path),
-             str(model_ax)],
+             str(model_ax), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
@@ -50,7 +50,8 @@ def _spawn_workers(tmp_path, model_ax):
                 p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
-    stem = "params" if model_ax == 1 else "params_tp"
+    stem = ("params_cached" if mode == "cached"
+            else "params" if model_ax == 1 else "params_tp")
     return [dict(np.load(tmp_path / f"{stem}_{i}.npz")) for i in range(2)]
 
 
@@ -112,3 +113,40 @@ def test_two_process_dp_tp_matches_single_process(tmp_path):
     the multi-process path too."""
     _check(_spawn_workers(tmp_path, model_ax=2),
            _single_process_reference(model_ax=2))
+
+
+def _single_process_cached_reference():
+    """The same sharded-bank epoch scan on this process's own 4 virtual
+    devices: identical mesh shape and cache seed, so the per-shard on-device
+    permutations and the bank partition match the 2-process run exactly."""
+    import jax
+
+    from conftest import tiny_cfg
+    from gemm_gan_tpu.data.device_cache import ShardedDeviceCache
+    from gemm_gan_tpu.data.synthetic import synthetic_dataset
+    from gemm_gan_tpu.parallel.mesh import make_mesh
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    genes = synthetic_dataset(n=32, n_genes=24, seed=1)["genes"]
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    cache = ShardedDeviceCache({"genes": genes}, batch_size=8, mesh=mesh,
+                               seed=0)
+    cfg = tiny_cfg("vanilla")
+    eng = WGANGPEngine(cfg, steps_per_epoch=len(cache), mesh=mesh)
+    state = eng.init_state(0, {"genes": np.zeros((8, 24), np.float32)})
+    state, metrics = eng.step_many_cached(state, cache, 0)
+    ref = {jax.tree_util.keystr(path): np.asarray(jax.device_get(leaf))
+           for path, leaf in jax.tree_util.tree_leaves_with_path(
+               (state.g_params, state.d_params))}
+    ref["__d_loss__"] = np.asarray(float(metrics["d_loss"]))
+    return ref
+
+
+def test_two_process_sharded_cache_scan_matches_single_process(tmp_path):
+    """The sharded-bank streaming scan is the multi-process form of the
+    epoch-scan fit loop: each process contributes its cases to the
+    data-axis-sharded bank ONCE, and one epoch of fused steps runs as one
+    device program with shard-local gathers. Both ranks must agree bitwise
+    and match the single-process run of the identical mesh shape."""
+    _check(_spawn_workers(tmp_path, model_ax=1, mode="cached"),
+           _single_process_cached_reference())
