@@ -71,7 +71,24 @@ class Experiment:
         self.cfg = cfg
         self.splits = splits
         t = cfg.train
-        if cfg.data.cache_on_device and mesh is None:
+        if cfg.data.shard_bank and mesh is not None:
+            # bank sharded over the mesh `data` axis: per-chip residency
+            # bank/S, shard-local gathers, streaming epoch scan. Train only;
+            # val/test take a replicated DeviceCache (they still need the
+            # on-device patch subsampling; the engine reshards their batches)
+            from gemm_gan_tpu.data.device_cache import (DeviceCache,
+                                                        ShardedDeviceCache)
+
+            def make(name):
+                if name == "train":
+                    return ShardedDeviceCache(
+                        splits[name], t.batch_size, mesh=mesh,
+                        num_patches=cfg.data.num_patches, seed=t.seed)
+                return DeviceCache(splits[name], t.batch_size,
+                                   num_patches=cfg.data.num_patches,
+                                   seed=t.seed, shuffle=False,
+                                   drop_remainder=False)
+        elif cfg.data.cache_on_device and mesh is None:
             # HBM-resident cache: jitted gathers + fresh on-device patch
             # subsampling per step (SURVEY.md §7 decision 2). With a mesh the
             # host path is kept — batches get resharded by the engine.
@@ -134,8 +151,8 @@ class Experiment:
         scan_cache = None
         stacked_fn = None
         if train.n_full_batches:
-            if hasattr(train, "assemble_fn"):
-                scan_cache = train
+            if hasattr(train, "assemble_fn") or hasattr(train, "gather_fn"):
+                scan_cache = train           # DeviceCache / ShardedDeviceCache
             else:
                 stacked_fn = train.stacked_epoch
         use_scan = scan_cache is not None or stacked_fn is not None

@@ -36,6 +36,10 @@ def build_parser():
                    choices=["standardize", "minmax", "none"])
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--shard_bank", action="store_true",
+                   help="shard the training bank's case axis over the mesh "
+                        "data axis (per-chip HBM residency bank/S, "
+                        "shard-local gathers, streaming epoch scan)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     # beyond-reference training options (see docs/scaling.md, BASELINE.md)
@@ -100,7 +104,7 @@ def main(argv=None):
     # patch_bank keeps the full padded patch set so DeviceCache can draw a
     # fresh subset per step on device (reference per-item resampling) — only
     # when the DeviceCache path will actually engage (single-device, cached).
-    use_device_cache = mesh is None
+    use_device_cache = mesh is None or args.shard_bank
     splits = load_tcga(args.data_dir, schema=schema, num_patches=args.num_patches,
                        normalization=args.normalization, seed=args.seed,
                        patch_bank=(use_device_cache
@@ -142,7 +146,8 @@ def main(argv=None):
         # and cli/sample.py rebuilds the loaders from the saved config
         data=dataclasses.replace(
             cfg.data, data_dir=args.data_dir, num_patches=args.num_patches,
-            normalization=args.normalization, seed=args.seed),
+            normalization=args.normalization, seed=args.seed,
+            shard_bank=args.shard_bank),
     )
 
     if args.variant in ("vae", "cvae"):

@@ -173,6 +173,11 @@ class DataConfig:
     seed: int = 42
     drop_remainder: bool = True
     cache_on_device: bool = True
+    # shard the training bank's case axis over the mesh `data` axis
+    # (ShardedDeviceCache): per-chip HBM residency becomes bank/S and the
+    # epoch scan gathers shard-locally. Requires a mesh; per-shard sampling
+    # contract documented on the cache (data/device_cache.py)
+    shard_bank: bool = False
 
 
 @dataclass(frozen=True)

@@ -20,9 +20,9 @@ def test_train_parser_flags():
         "--cond_embed_reuse", "per_update", "--ema_decay", "0.99",
         "--drift_epsilon", "1e-3", "--critic_scan", "--grad_accum", "4",
         "--profile_dir", "/tmp/p", "--profile_epochs", "2",
-        "--checkpoint_every_eval", "--resume"])
+        "--checkpoint_every_eval", "--resume", "--shard_bank"])
     assert a.critic_scan and a.resume and a.profile_epochs == 2
-    assert a.grad_accum == 4
+    assert a.grad_accum == 4 and a.shard_bank
 
 
 def test_export_parser_flags():

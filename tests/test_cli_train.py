@@ -205,3 +205,26 @@ def test_cli_evaluate_privacy_defaults_to_dump_data_real(tmp_path):
     run = res["per_run"][0]
     want = dcr(arrays["data_real"], arrays["data_gen"], arrays["test_real"])
     assert run["dcr"] == want and 0.0 <= run["nndr"] <= 1.0
+
+
+def test_cli_train_film_shard_bank(data_dir, tmp_path):
+    """--shard_bank: the training bank shards over the mesh data axis and
+    the fit loop takes the sharded streaming scan; the run still produces
+    the full dump + results protocol."""
+    import jax
+
+    from gemm_gan_tpu.cli.train import main
+
+    out = str(tmp_path / "out_sb")
+    main(["--variant", "film", "--data_dir", data_dir,
+          "--output_path", out, "--run_name", "cli_sb",
+          "--batch_size", "8", "--epochs", "2", "--latent_dim", "8",
+          "--hidden_dim", "16", "--num_patches", "8",
+          "--freq_compute_test", "10", "--shard_bank"])
+    run_dir = os.path.join(out, "cli_sb")
+    with open(os.path.join(run_dir, "results.json")) as f:
+        res = json.load(f)
+    assert np.isfinite(res["gamma_mean"])
+    with open(os.path.join(run_dir, "config.json")) as f:
+        assert json.load(f)["data"]["shard_bank"] is True
+    assert [p for p in os.listdir(run_dir) if p.startswith("test_")]
