@@ -38,6 +38,29 @@ from gemm_gan_tpu.train.wgan import WGANGPEngine
 from gemm_gan_tpu.utils.metrics import EpochProfileWindow, MetricLogger
 
 
+def _host_subsample_patches(split: Dict, num_patches: int, seed: int) -> Dict:
+    """One-time seeded host subsample of a full-width patch bank to
+    `num_patches` valid patches per case (zero-padded + masked below that).
+    Used for the val/test loaders under `data.shard_bank`, where keeping
+    their full-width banks on one chip would defeat the sharding."""
+    if "patches" not in split or split["patches"].shape[1] <= num_patches:
+        return split
+    rng = np.random.RandomState(seed)
+    pats, masks = split["patches"], split["patch_mask"]
+    n = len(pats)
+    out_p = np.zeros((n, num_patches) + pats.shape[2:], pats.dtype)
+    out_m = np.zeros((n, num_patches), bool)
+    for i in range(n):
+        valid = np.flatnonzero(masks[i])
+        sel = (rng.choice(valid, num_patches, replace=False)
+               if len(valid) > num_patches else valid)
+        out_p[i, :len(sel)] = pats[i, sel]
+        out_m[i, :len(sel)] = True
+    out = dict(split)
+    out["patches"], out["patch_mask"] = out_p, out_m
+    return out
+
+
 def _balanced_indices(disease: np.ndarray, max_oversample: int, rng) -> np.ndarray:
     """Class-balanced oversampling capped at max_oversample x
     (parity: conditional_gan_concat.py:465-482)."""
@@ -74,8 +97,13 @@ class Experiment:
         if cfg.data.shard_bank and mesh is not None:
             # bank sharded over the mesh `data` axis: per-chip residency
             # bank/S, shard-local gathers, streaming epoch scan. Train only;
-            # val/test take a replicated DeviceCache (they still need the
-            # on-device patch subsampling; the engine reshards their batches)
+            # val/test take a replicated DeviceCache over a ONE-TIME host
+            # patch subsample to num_patches — their full-width banks would
+            # reintroduce the per-chip residency cliff shard_bank exists to
+            # remove, and at num_patches width the eval banks are tiny.
+            # (Divergence note: eval-time patch subsets are frozen per run
+            # here instead of redrawn per pass; training keeps fresh
+            # per-step draws.)
             from gemm_gan_tpu.data.device_cache import (DeviceCache,
                                                         ShardedDeviceCache)
 
@@ -84,10 +112,11 @@ class Experiment:
                     return ShardedDeviceCache(
                         splits[name], t.batch_size, mesh=mesh,
                         num_patches=cfg.data.num_patches, seed=t.seed)
-                return DeviceCache(splits[name], t.batch_size,
-                                   num_patches=cfg.data.num_patches,
-                                   seed=t.seed, shuffle=False,
-                                   drop_remainder=False)
+                return DeviceCache(
+                    _host_subsample_patches(splits[name],
+                                            cfg.data.num_patches, t.seed),
+                    t.batch_size, num_patches=cfg.data.num_patches,
+                    seed=t.seed, shuffle=False, drop_remainder=False)
         elif cfg.data.cache_on_device and mesh is None:
             # HBM-resident cache: jitted gathers + fresh on-device patch
             # subsampling per step (SURVEY.md §7 decision 2). With a mesh the

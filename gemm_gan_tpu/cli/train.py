@@ -97,6 +97,15 @@ def main(argv=None):
     mesh = None
     if len(jax.devices()) > 1 or args.mesh_model > 1:
         mesh = make_mesh(args.mesh_data, args.mesh_model)
+    if args.shard_bank and mesh is None:
+        raise ValueError(
+            "--shard_bank shards the bank over a mesh data axis and needs "
+            "more than one device; on a single device use the replicated "
+            "DeviceCache (default) with --num_patches / bf16 bank storage")
+    if args.shard_bank and args.variant in ("vae", "cvae"):
+        raise ValueError("--shard_bank is not supported for the VAE "
+                         "variants (they train through VAEExperiment's "
+                         "stacked scan)")
 
     schema = {"vanilla": "genes", "vae": "genes", "benchmark": "labels",
               "cvae": "labels", "cross_attention": "multi_token",

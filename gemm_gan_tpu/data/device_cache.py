@@ -274,6 +274,22 @@ class ShardedDeviceCache:
         # equal-size shards are a hard requirement of the single-program
         # gather; surplus cases are dropped (like Batches drop_remainder)
         n_keep = (n_in // shards_here) * shards_here
+        if not sb.is_fully_addressable:
+            # every process must contribute the SAME case count: a mismatch
+            # would give each rank a different idea of the global bank size
+            # (make_array_from_process_local_data infers it from local data)
+            # and a different epoch length K — the scan's grad collectives
+            # would then deadlock far from the real cause. Fail loudly here.
+            from jax.experimental import multihost_utils
+
+            counts = np.asarray(multihost_utils.process_allgather(
+                np.asarray([n_keep])))
+            if not (counts == n_keep).all():
+                raise ValueError(
+                    "ShardedDeviceCache needs the same per-process case "
+                    f"count on every host; got {counts.ravel().tolist()} "
+                    "(after trimming to whole shards). Pad or trim the "
+                    "per-host datasets to a common size.")
 
         self._narrowed = set()
         if embedding_store_dtype is not None:

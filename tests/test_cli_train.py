@@ -228,3 +228,12 @@ def test_cli_train_film_shard_bank(data_dir, tmp_path):
     with open(os.path.join(run_dir, "config.json")) as f:
         assert json.load(f)["data"]["shard_bank"] is True
     assert [p for p in os.listdir(run_dir) if p.startswith("test_")]
+
+
+def test_cli_train_shard_bank_rejects_vae(tmp_path):
+    from gemm_gan_tpu.cli.train import main
+
+    with pytest.raises(ValueError, match="not supported for the VAE"):
+        main(["--variant", "vae", "--data_dir", "/nonexistent",
+              "--output_path", str(tmp_path), "--run_name", "x",
+              "--shard_bank"])
