@@ -30,21 +30,49 @@ def _init_params(key, dims: Sequence[int]):
     return params
 
 
-def _forward(params, x, train: bool, drop_key=None, dropout: float = 0.1):
+def _init_stats(dims: Sequence[int]):
+    """Per-hidden-layer BatchNorm running statistics (torch semantics)."""
+    return [{"mean": jnp.zeros((dims[i + 1],)), "var": jnp.ones((dims[i + 1],))}
+            for i in range(len(dims) - 2)]
+
+
+def _forward(params, x, train: bool, drop_key=None, dropout: float = 0.1,
+             stats=None, momentum: float = 0.1):
+    """MLP with BatchNorm (+ReLU+Dropout) hidden layers.
+
+    Train mode normalizes with the CURRENT batch's moments and returns
+    updated running statistics; eval mode normalizes with the RUNNING
+    statistics — matching the reference TorchMLPClassifier, which calls
+    `model.eval()` before predicting (src/classifiers/mlp.py:79-99), so
+    inference is deterministic and independent of batch composition.
+    Returns (logits, new_stats)."""
     h = x
     n = len(params)
+    new_stats = [] if train else stats
     for i, layer in enumerate(params):
         h = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32) + layer["b"]
         if i < n - 1:
-            mean = jnp.mean(h, axis=0, keepdims=True)
-            var = jnp.var(h, axis=0, keepdims=True)
+            if train:
+                mean = jnp.mean(h, axis=0)
+                var = jnp.var(h, axis=0)
+                if stats is not None:
+                    # torch updates running_var with the UNBIASED estimate
+                    m = h.shape[0]
+                    unbiased = var * (m / max(m - 1, 1))
+                    new_stats.append({
+                        "mean": (1 - momentum) * stats[i]["mean"] + momentum * mean,
+                        "var": (1 - momentum) * stats[i]["var"] + momentum * unbiased,
+                    })
+            else:
+                mean = stats[i]["mean"]
+                var = stats[i]["var"]
             h = (h - mean) / jnp.sqrt(var + 1e-5) * layer["gamma"] + layer["beta"]
             h = jax.nn.relu(h)
             if train and dropout > 0 and drop_key is not None:
                 drop_key, sub = jax.random.split(drop_key)
                 keep = jax.random.bernoulli(sub, 1 - dropout, h.shape)
                 h = jnp.where(keep, h / (1 - dropout), 0.0)
-    return h
+    return h, new_stats
 
 
 class MLPClassifier:
@@ -76,33 +104,46 @@ class MLPClassifier:
         opt_state = tx.init(params)
         dropout = self.dropout
 
-        @jax.jit
-        def step(params, opt_state, xb, yb, key):
-            def loss_fn(p):
-                logits = _forward(p, xb, True, key, dropout)
-                return optax.softmax_cross_entropy_with_integer_labels(
-                    logits, yb).mean()
+        stats = _init_stats(dims)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+        @jax.jit
+        def step(params, opt_state, stats, xb, yb, key):
+            def loss_fn(p):
+                logits, new_stats = _forward(p, xb, True, key, dropout,
+                                             stats=stats)
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yb).mean()
+                return loss, new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return (optax.apply_updates(params, updates), opt_state,
+                    jax.lax.stop_gradient(new_stats), loss)
 
         n = X.shape[0]
         bs = min(self.batch_size, n)
         rng = np.random.RandomState(self.seed)
         for _ in range(self.epochs):
             perm = rng.permutation(n)
-            for s in range(0, n - bs + 1, bs):
+            # the trailing partial batch trains too (reference DataLoader
+            # drop_last=False) — unless it is a single row, which BatchNorm
+            # cannot normalize in train mode (torch raises there as well)
+            for s in range(0, n, bs):
                 idx = perm[s:s + bs]
+                if len(idx) < 2:
+                    continue
                 key, sub = jax.random.split(key)
-                params, opt_state, _ = step(params, opt_state,
-                                            jnp.asarray(X[idx]), jnp.asarray(y_idx[idx]), sub)
+                params, opt_state, stats, _ = step(
+                    params, opt_state, stats,
+                    jnp.asarray(X[idx]), jnp.asarray(y_idx[idx]), sub)
         self.params = params
+        self.stats = stats
         return self
 
     def predict_proba(self, X):
         X = jnp.asarray(np.asarray(X, np.float32))
-        logits = _forward(self.params, X, False)
+        logits, _ = _forward(self.params, X, False, stats=self.stats)
         return np.asarray(jax.nn.softmax(logits, axis=-1))
 
     def predict(self, X):

@@ -160,17 +160,21 @@ def _mmd2(K_XX, K_XY, K_YY, const_diagonal=False, biased=False):
             - 2.0 * jnp.mean(K_XY))
 
 
-def mix_rbf_mmd2_and_ratio(X, Y, sigma_list=(1.0, 2.0, 4.0, 8.0, 16.0)):
-    """MMD² and its variance-normalized ratio (parity: :433-527)."""
+def mix_rbf_mmd2_and_ratio(X, Y, sigma_list=(1.0, 2.0, 4.0, 8.0, 16.0),
+                           biased: bool = True):
+    """MMD² and its variance-normalized ratio (parity: :433-527).
+
+    `biased=True` is the reference's default (`mix_rbf_mmd2_and_ratio`,
+    :411-415): the biased MMD² estimator over the same variance estimate."""
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
     K_XX, K_XY, K_YY, _ = _mix_rbf_kernel(X, Y, sigma_list)
-    mmd2, var_est = _mmd2_and_variance(K_XX, K_XY, K_YY)
+    mmd2, var_est = _mmd2_and_variance(K_XX, K_XY, K_YY, biased=biased)
     ratio = mmd2 / jnp.sqrt(jnp.maximum(var_est, min_var_est))
     return float(mmd2), float(ratio)
 
 
-def _mmd2_and_variance(K_XX, K_XY, K_YY, const_diagonal=False):
+def _mmd2_and_variance(K_XX, K_XY, K_YY, const_diagonal=False, biased=False):
     m = K_XX.shape[0]
     if const_diagonal is not False:
         diag_X = diag_Y = const_diagonal * jnp.ones(m)
@@ -195,8 +199,13 @@ def _mmd2_and_variance(K_XX, K_XY, K_YY, const_diagonal=False):
     Kt_YY_2_sum = jnp.sum(K_YY ** 2) - sum_diag2_Y
     K_XY_2_sum = jnp.sum(K_XY ** 2)
 
-    mmd2 = (Kt_XX_sum / (m * (m - 1)) + Kt_YY_sum / (m * (m - 1))
-            - 2.0 * K_XY_sum / (m * m))
+    if biased:
+        mmd2 = ((Kt_XX_sum + sum_diag_X) / (m * m)
+                + (Kt_YY_sum + sum_diag_Y) / (m * m)
+                - 2.0 * K_XY_sum / (m * m))
+    else:
+        mmd2 = (Kt_XX_sum / (m * (m - 1)) + Kt_YY_sum / (m * (m - 1))
+                - 2.0 * K_XY_sum / (m * m))
     var_est = (
         2.0 / (m ** 2 * (m - 1) ** 2)
         * (2 * jnp.sum(Kt_XX_sums ** 2) - Kt_XX_2_sum

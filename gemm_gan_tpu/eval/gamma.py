@@ -76,10 +76,14 @@ def _standardize_cols(a):
 def _gamma_moments(x, y, block: int):
     """Masked first/second/cross moments of the two correlation-distance
     matrices over the strict upper triangle, streamed over row blocks."""
-    n = x.shape[0]
+    # x and y may have DIFFERENT sample counts (reference gamma_coef
+    # signature: nb_samples_1 vs nb_samples_2); each matrix's gene-gene
+    # correlations are computed over its own samples
+    n_x = x.shape[0]
+    n_y = y.shape[0]
     g = x.shape[1]
-    xs = _standardize_cols(x)  # [n, g]
-    ys = _standardize_cols(y)
+    xs = _standardize_cols(x)  # [n_x, g]
+    ys = _standardize_cols(y)  # [n_y, g]
 
     nblocks = -(-g // block)
     gp = nblocks * block
@@ -89,10 +93,10 @@ def _gamma_moments(x, y, block: int):
 
     def body(carry, i):
         s = i * block
-        xb = jax.lax.dynamic_slice(xs_p, (0, s), (n, block))  # rows block
-        yb = jax.lax.dynamic_slice(ys_p, (0, s), (n, block))
-        cx = jnp.dot(xb.T, xs_p, preferred_element_type=jnp.float32) / n  # [block, gp]
-        cy = jnp.dot(yb.T, ys_p, preferred_element_type=jnp.float32) / n
+        xb = jax.lax.dynamic_slice(xs_p, (0, s), (n_x, block))  # rows block
+        yb = jax.lax.dynamic_slice(ys_p, (0, s), (n_y, block))
+        cx = jnp.dot(xb.T, xs_p, preferred_element_type=jnp.float32) / n_x  # [block, gp]
+        cy = jnp.dot(yb.T, ys_p, preferred_element_type=jnp.float32) / n_y
         dx = 1.0 - cx
         dy = 1.0 - cy
         rows = s + jax.lax.broadcasted_iota(jnp.int32, (block, gp), 0)

@@ -50,7 +50,12 @@ def compute_prdc(real_features, fake_features, nearest_k: int, block: int = 2048
     fake = jnp.asarray(fake_features, jnp.float32)
     # sets smaller than k+1 have no k-th neighbour (the reference's sklearn
     # kneighbors would error the same way); clamp so tiny smoke/validation
-    # sets degrade instead of crashing
+    # sets degrade instead of crashing. A 1-sample set has NO neighbour at
+    # all (the k-th-value lookup needs k+1 <= n) — degenerate by definition,
+    # return all-zero metrics instead of crashing inside top_k
+    if real.shape[0] < 2 or fake.shape[0] < 2:
+        return {"precision": 0.0, "recall": 0.0, "density": 0.0,
+                "coverage": 0.0}
     nearest_k = max(1, min(nearest_k, real.shape[0] - 1, fake.shape[0] - 1))
     real_nnd = compute_nearest_neighbour_distances(real, nearest_k, block)
     fake_nnd = compute_nearest_neighbour_distances(fake, nearest_k, block)

@@ -113,11 +113,13 @@ class PrivacyEvaluator:
         out = {"dcr": [], "nndr": [], "dcr_mean": [], "nndr_mean": []}
         for d in self.results_dirs:
             real_path = os.path.join(d, "data_real.npy")
-            if train_real is None and not os.path.exists(real_path):
+            try:
+                gen = np.load(os.path.join(d, "data_gen.npy"))
+                test_real = np.load(os.path.join(d, "test_real.npy"))
+                real = (train_real if train_real is not None
+                        else np.load(real_path))
+            except FileNotFoundError:
                 continue  # nonconforming dump dir: skip, never abort the scan
-            gen = np.load(os.path.join(d, "data_gen.npy"))
-            test_real = np.load(os.path.join(d, "test_real.npy"))
-            real = train_real if train_real is not None else np.load(real_path)
             out["dcr"].append(dcr(real, gen, test_real))
             out["nndr"].append(nndr(real, gen, test_real))
             out["dcr_mean"].append(float(jnp.mean(_min_dists(gen, real))))

@@ -27,6 +27,7 @@ from typing import Dict
 import numpy as np
 
 from gemm_gan_tpu.eval.classifiers import MLPClassifier
+from gemm_gan_tpu.eval.detection import _rf
 
 FILES = ("data_real", "data_gen", "test_real", "test_gen",
          "train_labels_real", "train_labels_gen",
@@ -77,7 +78,7 @@ class UtilityEvaluator:
         self.results_dirs = sorted(glob(os.path.join(results_path, "test_*")))
         self._make_classifiers = lambda: {
             "MLP": MLPClassifier(hidden=(100,), epochs=mlp_epochs, seed=42),
-            "RandomForest": _rf(),
+            "RandomForest": _rf(),  # shared with eval.detection (one fallback gate)
         }
         self.scores = {
             s: {c: {m: [] for m in METRICS} for c in ("MLP", "RandomForest")}
@@ -125,11 +126,4 @@ class UtilityEvaluatorPrimary(UtilityEvaluator):
     label_infix = "primary_site_"
 
 
-def _rf():
-    from gemm_gan_tpu.native.forest import HistForestClassifier, forest_available
 
-    if forest_available():
-        return HistForestClassifier(n_estimators=100, random_state=42, n_jobs=-1)
-    from sklearn.ensemble import RandomForestClassifier
-
-    return RandomForestClassifier(n_estimators=100, random_state=42, n_jobs=-1)

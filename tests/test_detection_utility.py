@@ -120,3 +120,25 @@ def test_knn_detection_matches_sklearn():
                                                    abs=1e-6)
     assert out["KNN"]["f1"] == pytest.approx(
         float(f1_score(yte, pred)), abs=1e-6)
+
+
+def test_mlp_classifier_inference_is_batch_independent():
+    """Reference parity: TorchMLPClassifier predicts under model.eval(), so
+    BatchNorm uses RUNNING statistics — predictions for a row must not
+    depend on batch composition, and single-row prediction must work."""
+    import numpy as np
+
+    from gemm_gan_tpu.eval.classifiers import MLPClassifier
+
+    rng = np.random.RandomState(0)
+    X = np.concatenate([rng.randn(60, 8) + 2, rng.randn(60, 8) - 2]).astype(np.float32)
+    y = np.array([0] * 60 + [1] * 60)
+    clf = MLPClassifier(hidden=(16,), epochs=20, batch_size=32).fit(X, y)
+    full = clf.predict_proba(X[:10])
+    one_by_one = np.concatenate([clf.predict_proba(X[i:i + 1])
+                                 for i in range(10)])
+    np.testing.assert_allclose(full, one_by_one, rtol=1e-5, atol=1e-6)
+    # distinct single samples get distinct (input-dependent) outputs
+    assert not np.allclose(clf.predict_proba(X[:1]), clf.predict_proba(X[70:71]))
+    # and the separable problem is actually learned
+    assert clf.score(X, y) > 0.9

@@ -95,3 +95,24 @@ def test_compute_distribution_distances_keys(rng):
     out = compute_distribution_distances(x, y)
     assert set(out) == {"1-Wasserstein", "2-Wasserstein", "Linear_MMD", "Poly_MMD"}
     assert all(np.isfinite(v) for v in out.values())
+
+
+def test_mix_rbf_mmd2_and_ratio_biased_default_matches_mmd2():
+    """The ratio variant defaults to the BIASED estimator like the
+    reference (:411-415): its mmd2 must equal mix_rbf_mmd2(biased=True),
+    and the unbiased option must equal mix_rbf_mmd2(biased=False)."""
+    import numpy as np
+
+    from gemm_gan_tpu.eval.distances import mix_rbf_mmd2, mix_rbf_mmd2_and_ratio
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(24, 6).astype(np.float32)
+    Y = (rng.randn(24, 6) + 0.5).astype(np.float32)
+    m2_b, ratio_b = mix_rbf_mmd2_and_ratio(X, Y)
+    np.testing.assert_allclose(m2_b, mix_rbf_mmd2(X, Y, biased=True),
+                               rtol=1e-5, atol=1e-7)
+    m2_u, _ = mix_rbf_mmd2_and_ratio(X, Y, biased=False)
+    np.testing.assert_allclose(m2_u, mix_rbf_mmd2(X, Y, biased=False),
+                               rtol=1e-5, atol=1e-7)
+    assert m2_b != m2_u
+    assert np.isfinite(ratio_b)

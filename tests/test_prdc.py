@@ -39,3 +39,18 @@ def test_prdc_blocking_invariance(rng):
     b = compute_prdc(real, fake, nearest_k=4, block=512)
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
+
+
+def test_prdc_single_sample_set_degrades():
+    """A 1-sample set has no k-th neighbour at any k: all-zero metrics
+    instead of a top_k crash."""
+    import numpy as np
+
+    from gemm_gan_tpu.eval.prdc import compute_prdc
+
+    r = np.random.RandomState(0).randn(1, 4).astype(np.float32)
+    f = np.random.RandomState(1).randn(8, 4).astype(np.float32)
+    for a, b in ((r, f), (f, r)):
+        out = compute_prdc(a, b, nearest_k=5)
+        assert out == {"precision": 0.0, "recall": 0.0, "density": 0.0,
+                       "coverage": 0.0}

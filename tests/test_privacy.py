@@ -111,3 +111,26 @@ def test_privacy_evaluator_skips_dir_missing_data_real(rng, tmp_path):
     assert all(v[1] == 0.0 for v in scores.values())  # one dir -> std 0
     with_override = PrivacyEvaluator(str(tmp_path)).evaluate(train_real=real)
     assert all(np.isfinite(v[0]) for v in with_override.values())
+
+
+def test_privacy_evaluator_skips_partial_dump_dirs(tmp_path):
+    """A test_* dir missing any of the three npys is skipped, never aborts
+    the scan — with and without a train_real override."""
+    import numpy as np
+
+    from gemm_gan_tpu.eval.privacy import PrivacyEvaluator
+
+    rng = np.random.RandomState(0)
+    good = tmp_path / "test_0_epoch_9"
+    good.mkdir()
+    for name in ("data_real", "data_gen", "test_real"):
+        np.save(good / f"{name}.npy", rng.randn(16, 6).astype(np.float32))
+    partial = tmp_path / "test_1_epoch_9"
+    partial.mkdir()
+    np.save(partial / "data_real.npy", rng.randn(16, 6).astype(np.float32))
+    # (no data_gen / test_real in `partial`)
+    scores = PrivacyEvaluator(str(tmp_path)).evaluate()
+    assert set(scores) == {"dcr", "nndr", "dcr_mean", "nndr_mean"}
+    scores2 = PrivacyEvaluator(str(tmp_path)).evaluate(
+        train_real=rng.randn(16, 6).astype(np.float32))
+    assert set(scores2) == {"dcr", "nndr", "dcr_mean", "nndr_mean"}
