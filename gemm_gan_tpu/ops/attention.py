@@ -43,7 +43,7 @@ class MaskedMultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, q_in, kv_in, kv_mask=None, deterministic: bool = True):
         E, H = self.embed_dim, self.num_heads
-        assert E % H == 0, "embed_dim must divide num_heads"
+        assert E % H == 0, "num_heads must divide embed_dim"
         D = E // H
         B, Lq, _ = q_in.shape
         Lk = kv_in.shape[1]
