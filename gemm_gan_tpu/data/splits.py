@@ -16,16 +16,20 @@ import numpy as np
 
 def split_indices(n: int, seed: int = 42, test_fraction: float = 0.2,
                   val_fraction: float = 0.2) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Return (train_idx, val_idx, test_idx) with the reference's 64/16/20 law."""
-    rng = np.random.RandomState(seed)
-    perm = rng.permutation(n)
-    n_test = int(round(n * test_fraction))
-    test = perm[:n_test]
-    rest = perm[n_test:]
-    n_val = int(round(len(rest) * val_fraction))
-    val = rest[:n_val]
-    train = rest[n_val:]
-    return train, val, test
+    """Return (train_idx, val_idx, test_idx) with the reference's 64/16/20 law.
+
+    EXACT index parity with `split_data` (/root/reference/src/data_loader.py:
+    11-36): the seeded MT19937 permutation is consumed train-first
+    (`idxs[:t_tr]`), then validation, then test, with `int()`-truncated cut
+    points `t_tr = int(train_rate*(1-val_rate)*n)` and
+    `t_val = t_tr + int(train_rate*val_rate*n)`. Verified by executing the
+    reference function on shared fixtures (tests/test_reference_parity.py).
+    """
+    train_rate = 1.0 - test_fraction
+    perm = np.random.RandomState(seed).permutation(n)
+    t_tr = int(train_rate * (1.0 - val_fraction) * n)
+    t_val = t_tr + int(train_rate * val_fraction * n)
+    return perm[:t_tr], perm[t_tr:t_val], perm[t_val:]
 
 
 def standardize(train: np.ndarray, *others: np.ndarray, eps: float = 0.0):
