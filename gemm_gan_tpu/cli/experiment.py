@@ -78,23 +78,74 @@ def _balanced_indices(disease: np.ndarray, max_oversample: int, rng) -> np.ndarr
 
 
 class Experiment:
+    """Reference experiment protocol; single- OR multi-process.
+
+    Multi-process contract (every process constructs the Experiment with the
+    SAME full `splits` and the shared global mesh):
+
+      * training is process-sharded: each process feeds its contiguous
+        sub-block of every global batch (`Batches(shard_mode="batch")`), so
+        the assembled global batch stream is IDENTICAL to the single-process
+        run's — or, under `data.shard_bank`, contributes its contiguous case
+        slice to the `ShardedDeviceCache`;
+      * validation/test generation is divided by global batch index — rank
+        k%P generates batch k with the same fold_in keys the single-process
+        path uses, on host-local params — and reassembled with an
+        allgather, so every rank holds the full real/fake arrays;
+      * the host metric suites, npy dumps, curves, logs run on RANK 0 ONLY
+        (`fit()`/`evaluate()` return the results dict there, `{}` on other
+        ranks); checkpoint save/restore is collective (Orbax multi-host).
+
+    Reference protocol being reproduced: conditional_gan_concat.py:664-832,
+    869-1015 (the reference itself is single-GPU only — SURVEY.md §2.5).
+    """
+
     def __init__(self, cfg: ExperimentConfig, splits: Dict, mesh=None):
         import jax
 
-        if jax.process_count() > 1:
-            # the reference experiment protocol (validation regeneration,
-            # npy dumps, host classifier suites) is inherently single-host;
-            # running it per-process would duplicate every sample. Multi-host
-            # training goes through the engine API directly.
-            raise NotImplementedError(
-                "Experiment is single-host; for multi-host training drive "
-                "WGANGPEngine.step/fit with process-sharded Batches("
-                "process_index=jax.process_index(), process_count="
-                "jax.process_count()) — see docs/scaling.md")
+        self.nproc = jax.process_count()
+        self.pid = jax.process_index()
+        self.is_main = self.pid == 0
+        if self.nproc > 1 and mesh is None:
+            raise ValueError("multi-process Experiment requires the global mesh")
         self.cfg = cfg
         self.splits = splits
         t = cfg.train
-        if cfg.data.shard_bank and mesh is not None:
+        self._local_sample = None
+        if self.nproc > 1:
+            if t.batch_size % self.nproc:
+                raise ValueError(
+                    f"global batch_size {t.batch_size} must divide evenly "
+                    f"across {self.nproc} processes")
+            per_host_b = t.batch_size // self.nproc
+
+            if cfg.data.shard_bank:
+                from gemm_gan_tpu.data.device_cache import ShardedDeviceCache
+
+                tr = splits["train"]
+                n = len(tr["genes"])
+                # equal contiguous case slices per process (trailing
+                # remainder dropped — the sharded bank needs equal shards)
+                per = n // self.nproc
+                sl = slice(self.pid * per, (self.pid + 1) * per)
+                local = {k: v[sl] for k, v in tr.items()}
+                train_loader = ShardedDeviceCache(
+                    local, t.batch_size, mesh=mesh,
+                    num_patches=cfg.data.num_patches, seed=t.seed)
+            else:
+                train_loader = Batches(
+                    splits["train"], per_host_b, seed=t.seed, shuffle=True,
+                    drop_remainder=False, process_index=self.pid,
+                    process_count=self.nproc, shard_mode="batch")
+            self.loaders = {"train": train_loader}
+            # generation loaders mirror the single-process host loaders
+            # exactly (same batch_size/seed/shuffle), full split on every
+            # rank; only the per-batch generation work is divided
+            self.gen_loaders = {
+                name: Batches(splits[name], t.batch_size, seed=t.seed,
+                              shuffle=(name == "train"), drop_remainder=False)
+                for name in ("train", "val", "test") if name in splits}
+        elif cfg.data.shard_bank and mesh is not None:
             # bank sharded over the mesh `data` axis: per-chip residency
             # bank/S, shard-local gathers, streaming epoch scan. Train only;
             # val/test take a replicated DeviceCache over a ONE-TIME host
@@ -135,14 +186,98 @@ class Experiment:
                 # instead of vanishing, and tiny splits still yield a batch
                 return Batches(splits[name], t.batch_size, seed=t.seed,
                                shuffle=(name == "train"), drop_remainder=False)
-        self.loaders = {name: make(name)
-                        for name in ("train", "val", "test") if name in splits}
+        if self.nproc == 1:
+            self.loaders = {name: make(name)
+                            for name in ("train", "val", "test") if name in splits}
+            self.gen_loaders = self.loaders
         self.engine = WGANGPEngine(cfg, steps_per_epoch=len(self.loaders["train"]),
                                    mesh=mesh)
         self.out_dir = os.path.join(cfg.output_dir, cfg.run_name)
         os.makedirs(self.out_dir, exist_ok=True)
-        self.logger = MetricLogger(self.out_dir, cfg.run_name)
+        self.logger = MetricLogger(self.out_dir, cfg.run_name) if self.is_main else None
         self.val_metrics_history = []
+
+    # --------------------------------------------------- multi-process helpers
+    def _state_for_save(self, state):
+        """Single-process: host copy (existing behavior). Multi-process: the
+        global (possibly sharded) arrays — Orbax's multi-host path saves each
+        process's addressable shards; all ranks must call save/restore."""
+        return jax.device_get(state) if self.nproc == 1 else state
+
+    def _host_tree(self, tree):
+        """Full host-numpy copy of a (possibly globally-sharded) pytree."""
+        def one(x):
+            if (self.nproc > 1 and isinstance(x, jax.Array)
+                    and not x.is_fully_replicated):
+                from jax.experimental import multihost_utils
+
+                return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+            return np.asarray(jax.device_get(x))
+
+        return jax.tree.map(one, tree)
+
+    def _generate_all(self, state, key, loader, epoch, num_repeats: int = 1,
+                      device_out: bool = False):
+        """`generate_samples_all` over a full-split loader.
+
+        Single-process: delegates to the engine (scan path per config).
+        Multi-process: every rank enumerates the SAME global batch list;
+        rank k%P generates batch k per-call on HOST-LOCAL params with the
+        identical `fold_in(fold_in(key, k), r)` keys the single-process
+        (and scan — bitwise-parity-tested) paths use, then the fake rows
+        are reassembled with one allgather-sum. Every rank returns the full
+        arrays; real/labels are assembled locally (each rank holds the full
+        split). Sample-for-sample IDENTICAL to the single-process output up
+        to fp summation order of the training that produced the params.
+        """
+        ev = self.cfg.eval
+        if self.nproc == 1:
+            return self.engine.generate_samples_all(
+                state, key, loader.epoch(epoch), num_repeats=num_repeats,
+                scan=ev.scan_sampling, device_out=device_out)
+        if device_out:
+            raise NotImplementedError(
+                "device_out generation is single-process only; multi-process "
+                "validation uses the host metric path")
+        from jax.experimental import multihost_utils
+
+        from gemm_gan_tpu.train.wgan import cond_of
+
+        batches = list(loader.epoch(epoch))
+        params = self._host_tree(self.engine._gen_params(state, None))
+        if self._local_sample is None:
+            # the engine's per-call sampler, jitted process-locally (host
+            # params + host conds -> runs on this process's devices only)
+            self._local_sample = self.engine._build_sample()
+        sizes = [b["genes"].shape[0] for b in batches]
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        n_rows = int(offsets[-1])
+        n_genes = batches[0]["genes"].shape[1]
+        fakes = np.zeros((num_repeats * n_rows, n_genes), np.float32)
+        reals, diseases, sites = [], [], []
+        for r in range(num_repeats):
+            for k_idx, batch in enumerate(batches):
+                reals.append(np.asarray(batch["genes"]))
+                if "disease" in batch:
+                    diseases.append(np.asarray(batch["disease"]))
+                if "site" in batch:
+                    sites.append(np.asarray(batch["site"]))
+                if k_idx % self.nproc != self.pid:
+                    continue
+                sub = jax.random.fold_in(jax.random.fold_in(key, k_idx), r)
+                fake = np.asarray(self._local_sample(
+                    params, sub, cond_of(batch), n=sizes[k_idx]))
+                s = r * n_rows + int(offsets[k_idx])
+                fakes[s:s + fake.shape[0]] = fake
+        # disjoint fills -> elementwise sum across ranks reassembles exactly
+        fakes = np.asarray(multihost_utils.process_allgather(fakes)).sum(
+            axis=0, dtype=np.float32)
+        out = {"real": np.concatenate(reals), "fake": fakes}
+        if diseases:
+            out["disease"] = np.concatenate(diseases)
+        if sites:
+            out["site"] = np.concatenate(sites)
+        return out
 
     # ----------------------------------------------------------------- train
     def fit(self, resume: bool = False, profile_dir: str = None,
@@ -204,7 +339,8 @@ class Experiment:
                             r for r in json.load(f)
                             if r["epoch"] < start_epoch]
 
-        prof = EpochProfileWindow(profile_dir, profile_epochs)
+        prof = EpochProfileWindow(profile_dir if self.is_main else None,
+                                  profile_epochs)
 
         def on_epoch_end(engine, state, epoch):
             prof.on_epoch_end(epoch)
@@ -213,7 +349,7 @@ class Experiment:
                 sub = jax.random.fold_in(key, epoch)
                 self._validation_eval(state, sub, epoch)
                 if t.checkpoint_every_eval:
-                    save_state(ckpt_dir, jax.device_get(state))
+                    save_state(ckpt_dir, self._state_for_save(state))
             return None
 
         try:
@@ -225,7 +361,7 @@ class Experiment:
             prof.close()
         self.profile_captured = prof.captured
         self.state = state
-        save_state(ckpt_dir, jax.device_get(state))
+        save_state(ckpt_dir, self._state_for_save(state))
         self._plot_val_curves()
         results = self._test_block(state)
         return results
@@ -244,7 +380,23 @@ class Experiment:
         ev = self.cfg.eval
         k1, k2 = jax.random.split(key)
         scan = ev.scan_sampling
-        if ev.on_device_validation:
+        if self.nproc > 1:
+            # multi-process: collective sharded generation, rank-0-only
+            # host metrics/writes (the on-device proxy is single-process)
+            train_out = self._generate_all(state, k1, self.gen_loaders["train"],
+                                           epoch)
+            val_out = self._generate_all(state, k2, self.gen_loaders["val"],
+                                         epoch)
+            if not self.is_main:
+                return None
+            det = detection(train_out["real"], train_out["fake"],
+                            val_out["real"], val_out["fake"])
+            metrics = compute_evaluation_metrics(
+                train_out["real"], train_out["fake"],
+                val_out["real"], val_out["fake"], nn=ev.nearest_k,
+                n_components=min(ev.pca_components,
+                                 train_out["real"].shape[0] - 1))
+        elif ev.on_device_validation:
             from gemm_gan_tpu.eval.detection import knn_detection
             from gemm_gan_tpu.eval.prdc import compute_prdc
 
@@ -285,7 +437,7 @@ class Experiment:
 
     def _plot_val_curves(self):
         """Validation metric curves (parity: :710-729)."""
-        if not self.val_metrics_history:
+        if not self.val_metrics_history or not self.is_main:
             return
         from gemm_gan_tpu.viz import plot_curves
 
@@ -313,12 +465,12 @@ class Experiment:
 
         for run in range(ev.n_runs):
             key, k1, k2 = jax.random.split(key, 3)
-            train_out = self.engine.generate_samples_all(
-                state, k1, self.loaders["train"].epoch(run),
-                scan=ev.scan_sampling)
-            test_out = self.engine.generate_samples_all(
-                state, k2, self.loaders["test"].epoch(run),
-                scan=ev.scan_sampling)
+            train_out = self._generate_all(state, k1, self.gen_loaders["train"],
+                                           run)
+            test_out = self._generate_all(state, k2, self.gen_loaders["test"],
+                                          run)
+            if not self.is_main:
+                continue  # generation is collective; metrics/dumps are not
 
             run_dir = os.path.join(self.out_dir, f"test_{run}_epoch_{epoch}")
             arrays = {
@@ -370,6 +522,8 @@ class Experiment:
             }
             all_results.append(res)
 
+        if not self.is_main:
+            return {}
         summary = {
             "gamma_mean": float(np.mean([r["gamma"] for r in all_results])),
             "gamma_std": float(np.std([r["gamma"] for r in all_results])),
@@ -379,17 +533,23 @@ class Experiment:
 
     # -------------------------------------------------------------- evaluate
     def evaluate(self) -> Dict:
-        """Restore checkpoint and rerun the test block (parity: :869-1015)."""
+        """Restore checkpoint and rerun the test block (parity: :869-1015).
+
+        Multi-process: restore is collective (every rank calls with the
+        global-array template so Orbax re-places shards); the returned
+        summary is rank-0-only (`{}` elsewhere)."""
         sample_batch = next(iter(self.loaders["train"].epoch(0)))
-        template = jax.device_get(
+        template = self._state_for_save(
             self.engine.init_state(self.cfg.train.seed, sample_batch))
         state = restore_state(os.path.join(self.out_dir, "ckpt"), template)
-        return self._test_block(state, epoch=int(state.step))
+        return self._test_block(state, epoch=int(jax.device_get(state.step)))
 
     # -------------------------------------------------------------- post-hoc
     def posthoc_utility(self) -> Dict:
         """UtilityEvaluator + primary-site variant over the dumps
         (parity: :1075-1083)."""
+        if not self.is_main:
+            return {}
         out = {}
         ev = UtilityEvaluator(self.out_dir)
         if ev.results_dirs:
@@ -406,6 +566,8 @@ class Experiment:
 
     def posthoc_privacy(self) -> Dict:
         """DCR/NNDR over each test_* dir (parity: :1096-1110)."""
+        if not self.is_main:
+            return {}
         from glob import glob
 
         train_real = self.splits["train"]["genes"]
@@ -429,6 +591,11 @@ class Experiment:
         balanced = {k: v[idx] for k, v in data.items()}
         loader = Batches(balanced, 64, seed=t.seed, shuffle=False,
                          drop_remainder=False)
+        if self.nproc > 1:
+            # sharded-by-batch generation; host_dtype is a wire-size knob
+            # for the engine fetch path and does not apply here
+            return self._generate_all(state, key, loader, 0,
+                                      num_repeats=num_repeats)
         return self.engine.generate_samples_all(state, key, loader.epoch(0),
                                                 num_repeats=num_repeats,
                                                 scan=ev.scan_sampling,

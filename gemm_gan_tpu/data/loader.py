@@ -20,10 +20,12 @@ import numpy as np
 class Batches:
     def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
                  seed: int = 42, shuffle: bool = True, drop_remainder: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 shard_mode: str = "strided"):
         n = len(next(iter(data.values())))
         for k, v in data.items():
             assert len(v) == n, f"length mismatch for {k}"
+        assert shard_mode in ("strided", "batch"), shard_mode
         self.data = data
         self.n = n
         self.batch_size = batch_size
@@ -32,6 +34,17 @@ class Batches:
         self.drop_remainder = drop_remainder
         self.process_index = process_index
         self.process_count = process_count
+        # "strided": process p iterates idx[p::count] — balanced, but the
+        #   assembled global batch interleaves the epoch stream.
+        # "batch": process p takes the p-th CONTIGUOUS block of each global
+        #   batch of batch_size*count rows, so the global batch assembled by
+        #   `place_batch` ([proc0 rows, proc1 rows, ...]) is IDENTICAL to the
+        #   batch a single-process loader with batch_size*count would yield —
+        #   the multi-host experiment protocol uses this for exact single- vs
+        #   multi-process training-stream parity. A ragged epoch tail is
+        #   yielded only when it splits evenly across processes (all
+        #   processes must contribute equal rows to a global array).
+        self.shard_mode = shard_mode
         self._epoch = 0
 
     def seek(self, epoch: int):
@@ -40,6 +53,13 @@ class Batches:
         self._epoch = epoch
 
     def __len__(self):
+        if self.shard_mode == "batch" and self.process_count > 1:
+            global_b = self.batch_size * self.process_count
+            full = self.n // global_b
+            if self.drop_remainder:
+                return full
+            tail = self.n - full * global_b
+            return full + (1 if tail and tail % self.process_count == 0 else 0)
         per_host = self.n // self.process_count
         if self.drop_remainder:
             return per_host // self.batch_size
@@ -53,6 +73,20 @@ class Batches:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + e)
             idx = rng.permutation(idx)
+        if self.shard_mode == "batch" and self.process_count > 1:
+            global_b = self.batch_size * self.process_count
+            full = self.n // global_b
+            for k in range(full):
+                s = k * global_b + self.process_index * self.batch_size
+                take = idx[s:s + self.batch_size]
+                yield {k2: v[take] for k2, v in self.data.items()}
+            tail = idx[full * global_b:]
+            if (not self.drop_remainder and len(tail)
+                    and len(tail) % self.process_count == 0):
+                t = len(tail) // self.process_count
+                take = tail[self.process_index * t:(self.process_index + 1) * t]
+                yield {k2: v[take] for k2, v in self.data.items()}
+            return
         idx = idx[self.process_index::self.process_count]
         stop = (len(idx) // self.batch_size) * self.batch_size if self.drop_remainder else len(idx)
         for s in range(0, stop, self.batch_size):
@@ -67,6 +101,8 @@ class Batches:
         """Full-size batches per epoch — the length of `stacked_epoch`'s
         leading axis. 0 means the scan path is unusable (dataset smaller
         than one batch); callers should fall back to the per-batch path."""
+        if self.shard_mode == "batch" and self.process_count > 1:
+            return self.n // (self.batch_size * self.process_count)
         return (self.n // self.process_count) // self.batch_size
 
     def stacked_epoch(self, epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
@@ -86,4 +122,5 @@ class Batches:
     def subset(self, keys) -> "Batches":
         return Batches({k: self.data[k] for k in keys}, self.batch_size,
                        self.seed, self.shuffle, self.drop_remainder,
-                       self.process_index, self.process_count)
+                       self.process_index, self.process_count,
+                       self.shard_mode)

@@ -48,3 +48,38 @@ def synthetic_dataset(n: int = 256, n_genes: int = 64, n_classes: int = 4,
         "disease": disease.astype(np.int32),
         "site": site.astype(np.int32),
     }
+
+
+def structured_dataset(n: int, n_genes: int = 2000, rank: int = 24,
+                       n_classes: int = 8, n_sites: int = 4,
+                       num_patches: int = 256, patch_dim: int = 1024,
+                       num_tokens: int = 300, text_dim: int = 768,
+                       seed: int = 7) -> Dict[str, np.ndarray]:
+    """Low-rank gene-gene correlation + label-dependent means, with
+    class-correlated patch/token embeddings — the statistical regime of the
+    reference's TCGA data (SURVEY.md §6 canonical config). Used by the
+    on-chip dynamics validation (`scripts/validate_dynamics.py`) and the
+    CPU statistical acceptance test (`tests/test_dynamics_acceptance.py`):
+    the low-rank factor `W` gives the generator a learnable gene-gene
+    correlation structure that Γ can detect, and the class means give the
+    conditioning signal."""
+    rng = np.random.RandomState(seed)
+    disease = rng.randint(0, n_classes, size=n)
+    site = rng.randint(0, n_sites, size=n)
+    centers = rng.randn(n_classes, n_genes).astype(np.float32) * 1.5
+    W = rng.randn(rank, n_genes).astype(np.float32) / np.sqrt(rank)
+    z = rng.randn(n, rank).astype(np.float32)
+    genes = (centers[disease] + 2.0 * (z @ W)
+             + 0.5 * rng.randn(n, n_genes).astype(np.float32))
+
+    text_centers = rng.randn(n_classes, text_dim).astype(np.float32)
+    tokens = (text_centers[disease][:, None, :]
+              + 0.3 * rng.randn(n, num_tokens, text_dim)).astype(np.float32)
+    token_mask = np.ones((n, num_tokens), dtype=bool)
+    patch_centers = rng.randn(n_classes, patch_dim).astype(np.float32)
+    patches = (patch_centers[disease][:, None, :]
+               + 0.5 * rng.randn(n, num_patches, patch_dim)).astype(np.float32)
+    patch_mask = np.ones((n, num_patches), dtype=bool)
+    return {"genes": genes, "tokens": tokens, "token_mask": token_mask,
+            "patches": patches, "patch_mask": patch_mask,
+            "disease": disease.astype(np.int32), "site": site.astype(np.int32)}

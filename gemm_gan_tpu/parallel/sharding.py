@@ -82,10 +82,14 @@ def place_batch(mesh: Mesh, batch: Any, sharding: NamedSharding = None,
         for k, v in batch.items():
             rows = getattr(v, "shape", (None,))[0]
             if (rows is not None and not isinstance(v, jax.Array)
-                    and rows * n != expected_global_rows):
+                    and rows * n > expected_global_rows):
+                # strictly-greater: a ragged epoch-tail batch legitimately
+                # assembles FEWER global rows; only an oversized assembly
+                # (the full global batch fed as a per-process shard, which
+                # would silently duplicate every sample) is a misuse
                 raise ValueError(
                     f"batch[{k!r}] has {rows} local rows on each of {n} "
-                    f"processes -> {rows * n} global, expected "
+                    f"processes -> {rows * n} global, expected at most "
                     f"{expected_global_rows}. On a multi-process mesh pass "
                     "each process's OWN shard (Batches(process_index=..., "
                     "process_count=...)), not the full global batch.")

@@ -29,31 +29,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def structured_dataset(n, n_genes=2000, rank=24, n_classes=8, n_sites=4,
-                       num_patches=256, patch_dim=1024, num_tokens=300,
-                       text_dim=768, seed=7):
-    """Low-rank gene-gene correlation + label-dependent means, with
-    class-correlated patch/token embeddings (the regime of the reference's
-    TCGA data at canonical shapes)."""
-    rng = np.random.RandomState(seed)
-    disease = rng.randint(0, n_classes, size=n)
-    site = rng.randint(0, n_sites, size=n)
-    centers = rng.randn(n_classes, n_genes).astype(np.float32) * 1.5
-    W = rng.randn(rank, n_genes).astype(np.float32) / np.sqrt(rank)
-    z = rng.randn(n, rank).astype(np.float32)
-    genes = centers[disease] + 2.0 * (z @ W) + 0.5 * rng.randn(n, n_genes).astype(np.float32)
-
-    text_centers = rng.randn(n_classes, text_dim).astype(np.float32)
-    tokens = (text_centers[disease][:, None, :]
-              + 0.3 * rng.randn(n, num_tokens, text_dim)).astype(np.float32)
-    token_mask = np.ones((n, num_tokens), dtype=bool)
-    patch_centers = rng.randn(n_classes, patch_dim).astype(np.float32)
-    patches = (patch_centers[disease][:, None, :]
-               + 0.5 * rng.randn(n, num_patches, patch_dim)).astype(np.float32)
-    patch_mask = np.ones((n, num_patches), dtype=bool)
-    return {"genes": genes, "tokens": tokens, "token_mask": token_mask,
-            "patches": patches, "patch_mask": patch_mask,
-            "disease": disease.astype(np.int32), "site": site.astype(np.int32)}
+# shared with tests/test_dynamics_acceptance.py (the CPU-sized statistical
+# acceptance test of the same regime)
+from gemm_gan_tpu.data.synthetic import structured_dataset  # noqa: E402
 
 
 def main():
