@@ -243,12 +243,41 @@ class ShardedDeviceCache:
 
     def __init__(self, data: Dict[str, np.ndarray], batch_size: int, mesh,
                  num_patches: Optional[int] = None, seed: int = 42,
-                 embedding_store_dtype=None):
+                 embedding_store_dtype=None, shard_patches: bool = False):
+        """`shard_patches=True` additionally shards the PATCH axis of
+        `patches`/`patch_mask` over the mesh's `model` axis (cases stay on
+        `data`) — the sequence-parallel data path (VERDICT r1 #4): at
+        whole-slide widths even one data shard's full-width rows exceed a
+        chip (4,096×1024 f32 ≈ 16 MB/case ⇒ a 1k-case shard is 16 GB), so
+        the bank must shard the same axis `ring_mha` shards. Per-item
+        subsampling becomes SHARD-LOCAL: each model shard draws
+        num_patches/M of ITS OWN slice with a per-(data,model)-shard key —
+        a stratified-by-shard uniform subset (documented divergence from
+        the replicated cache's global without-replacement draw), and the
+        gathered batch leaves the cache with patches already laid out
+        P('data', 'model') — exactly what the `sequence_parallel` fused
+        step consumes, no relayout between bank and ring."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.mesh = mesh
         S = int(mesh.shape["data"])
         self.data_shards = S
+        M = int(mesh.shape.get("model", 1)) if shard_patches else 1
+        self.patch_shards = M
+        self.shard_patches = shard_patches and M > 1
+        if shard_patches:
+            if "patches" not in data:
+                raise ValueError("shard_patches=True needs a 'patches' array")
+            W = data["patches"].shape[1]
+            if W % M:
+                raise ValueError(
+                    f"patch width {W} not divisible by model axis {M}; pad "
+                    "the bank (patch_mask False on the padding)")
+            if num_patches is not None and num_patches % M:
+                raise ValueError(
+                    f"num_patches {num_patches} not divisible by model "
+                    f"axis {M} (shard-local subsampling draws "
+                    "num_patches/M per shard)")
         if batch_size % S:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"data axis size {S}")
@@ -297,13 +326,35 @@ class ShardedDeviceCache:
                 if k in data:
                     self._narrowed.add(k)
 
+        if not sb.is_fully_addressable and self.shard_patches:
+            # make_array_from_process_local_data gets the FULL patch width
+            # from each process; that is only the process's own shard set
+            # when every model-axis run of devices stays within one process
+            dev = np.asarray(mesh.devices)
+            model_ax = list(mesh.axis_names).index("model")
+            rows = np.moveaxis(dev, model_ax, -1).reshape(-1, dev.shape[model_ax])
+            for row in rows:
+                if len({d.process_index for d in row}) > 1:
+                    raise NotImplementedError(
+                        "shard_patches with a model axis spanning processes "
+                        "is not supported; keep each model-axis group within "
+                        "one process (e.g. mesh axes ordered (data, model) "
+                        "with model size <= local device count)")
+
+        def spec_for(k, ndim):
+            if self.shard_patches and k in ("patches", "patch_mask"):
+                return NamedSharding(
+                    mesh, P(*(["data", "model"] + [None] * (ndim - 2))))
+            return sb
+
         def prep(k, v):
             v = np.asarray(v)[:n_keep]
             if k in self._narrowed:
                 v = v.astype(embedding_store_dtype)
-            if sb.is_fully_addressable:
-                return jax.device_put(v, sb)
-            return jax.make_array_from_process_local_data(sb, v)
+            s = spec_for(k, v.ndim)
+            if s.is_fully_addressable:
+                return jax.device_put(v, s)
+            return jax.make_array_from_process_local_data(s, v)
 
         self.arrays = {k: prep(k, v) for k, v in data.items()}
         self.n = int(next(iter(self.arrays.values())).shape[0])
@@ -318,6 +369,10 @@ class ShardedDeviceCache:
         narrowed = frozenset(self._narrowed)
         shard_map, check_kw = _shard_map()
         n_shard, b_shard = self.n_shard, self.b_shard
+        patch_sharded = self.shard_patches
+        # shard-local subsample target: num_patches/M per model shard
+        local_num_patches = (num_patches // M if (resample and patch_sharded)
+                             else num_patches)
         P_ = P
 
         def epoch_perm(ekey):
@@ -331,21 +386,36 @@ class ShardedDeviceCache:
             return shard_map(local, mesh=mesh, in_specs=P_(),
                              out_specs=P_("data"), **check_kw)(ekey)
 
+        def _spec(name, ndim):
+            if patch_sharded and name in ("patches", "patch_mask"):
+                return P_(*(["data", "model"] + [None] * (ndim - 2)))
+            return P_("data")
+
         def gather(arrays, perm, ekey, k):
-            """Batch k of the epoch: [batch_size, ...] sharded over data."""
+            """Batch k of the epoch: [batch_size, ...] sharded over data
+            (patches additionally over model when `shard_patches`)."""
 
             def local(arrays_l, perm_l, ek, kk):
                 s = jax.lax.axis_index("data")
                 idx = jax.lax.dynamic_slice_in_dim(perm_l, kk * b_shard,
                                                    b_shard)
                 bk = jax.random.fold_in(jax.random.fold_in(ek, kk), s)
+                if patch_sharded:
+                    # per-(data, model) shard key so each model shard draws
+                    # its own local patch subset
+                    bk = jax.random.fold_in(bk, jax.lax.axis_index("model"))
                 return _assemble_batch(arrays_l, idx, bk, resample,
-                                       num_patches, narrowed)
+                                       local_num_patches, narrowed)
 
+            names = sorted(arrays)
+            in_specs = (
+                {n: _spec(n, arrays[n].ndim) for n in names}, P_("data"),
+                P_(), P_())
+            out_specs = {n: _spec(n, arrays[n].ndim) for n in names}
             return shard_map(
                 local, mesh=mesh,
-                in_specs=(P_("data"), P_("data"), P_(), P_()),
-                out_specs=P_("data"), **check_kw)(arrays, perm, ekey, k)
+                in_specs=in_specs, out_specs=out_specs,
+                **check_kw)(arrays, perm, ekey, k)
 
         # single source of truth for BOTH consumers: the per-batch
         # iterator below and the engine's streaming epoch scan
