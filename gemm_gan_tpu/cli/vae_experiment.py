@@ -23,6 +23,9 @@ class VAEExperiment:
     def __init__(self, cfg: ExperimentConfig, splits: Dict):
         self.cfg = cfg
         self.splits = splits
+        # single-process by design (cli/train.py rejects --shard_bank for the
+        # VAE variants); the borrowed Experiment.posthoc_* methods check these
+        self.nproc, self.pid, self.is_main = 1, 0, True
         t = cfg.train
         # drop_remainder=False for parity with the reference's
         # DataLoader(drop_last=False): ragged tails train/evaluate instead

@@ -63,6 +63,15 @@ class FusionConfig:
     # remat each patch-transformer layer (activation memory ∝ one layer):
     # enable for whole-slide patch counts (>=16k) on a single chip
     remat_layers: bool = False
+    # flash-kernel layout: "ble" feeds the raw [B, L, E] projection outputs
+    # to an E-layout kernel that splits heads INSIDE by static lane slices,
+    # so XLA never materializes the [B,L,H,D]->[B,H,L,D] transpose around
+    # each custom call (~0.6 ms/step of pure layout copies at canonical
+    # shapes — BASELINE.md "copy tax"). Applies to single-block shapes
+    # (canonical 257/300 tokens); long sequences take the classic blocked
+    # kernels where the transpose is amortized. "bhld" = classic layout.
+    flash_layout: str = "ble"
+
     # shard the patch self-attention sequence over the mesh's `model` axis
     # via ring attention (whole-slide patch counts; beyond the reference)
     sequence_parallel: bool = False

@@ -65,7 +65,7 @@ class _PatchTransformer(nn.Module):
         x = TransformerEncoder(
             num_layers=c.num_layers, embed_dim=c.cond_dim, num_heads=c.num_heads,
             ff_dim=c.ff_dim, dropout=c.dropout, use_pallas=c.use_pallas,
-            mxu_bf16=c.flash_mxu_bf16,
+            mxu_bf16=c.flash_mxu_bf16, flash_layout=c.flash_layout,
             mesh=self.mesh if c.sequence_parallel else None,
             dtype=self.dtype, remat=c.remat_layers, name="patches_transformer",
         )(x, mask, deterministic=deterministic)
@@ -104,7 +104,8 @@ class PooledAttentionFusion(nn.Module):
         patches = nn.Dense(c.cond_dim, dtype=self.dtype, name="patches_encoder")(cond["patches"])
         attn = MaskedMultiHeadAttention(
             c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
-            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
+            mxu_bf16=c.flash_mxu_bf16, flash_layout=c.flash_layout,
+            dtype=self.dtype,
             name="attention",
         )(text[:, None, :], patches, cond["patch_mask"], deterministic=deterministic)
         return nn.LayerNorm(dtype=jnp.float32, name="attn_norm")(attn[:, 0])
@@ -161,12 +162,14 @@ class CrossAttentionFusion(nn.Module):
             cond["patches"], cond["patch_mask"], deterministic)
         p2t = MaskedMultiHeadAttention(
             c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
-            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
+            mxu_bf16=c.flash_mxu_bf16, flash_layout=c.flash_layout,
+            dtype=self.dtype,
             name="patch2text_attention",
         )(text, patch_seq, patch_mask, deterministic=deterministic)
         t2p = MaskedMultiHeadAttention(
             c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
-            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
+            mxu_bf16=c.flash_mxu_bf16, flash_layout=c.flash_layout,
+            dtype=self.dtype,
             name="text2patch_attention",
         )(p2t, text, cond["token_mask"], deterministic=deterministic)
         return t2p[:, 0] + p2t[:, 0]
@@ -192,12 +195,14 @@ class FiLMCrossAttentionFusion(nn.Module):
             patches, cond["patch_mask"], deterministic)
         p2t = MaskedMultiHeadAttention(
             c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
-            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
+            mxu_bf16=c.flash_mxu_bf16, flash_layout=c.flash_layout,
+            dtype=self.dtype,
             name="patch2text_attention",
         )(text[:, 0:1, :], patch_seq, patch_mask, deterministic=deterministic)
         t2p = MaskedMultiHeadAttention(
             c.cond_dim, c.num_heads, use_pallas=c.use_pallas,
-            mxu_bf16=c.flash_mxu_bf16, dtype=self.dtype,
+            mxu_bf16=c.flash_mxu_bf16, flash_layout=c.flash_layout,
+            dtype=self.dtype,
             name="text2patch_attention",
         )(p2t[:, 0:1, :], text, cond["token_mask"], deterministic=deterministic)
         return t2p[:, 0] + p2t[:, 0]

@@ -260,6 +260,180 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
 
 
+# ------------------------------------------------- E-layout (ble) fast path
+# Kernels that consume q/k/v as [B, L, E] — the raw output of the fused QKV
+# projections — and emit [B, Lq, E], with the head split done INSIDE the
+# kernel by static lane slices (E = H*D). Why: the classic [B, H, L, D]
+# layout forces XLA to materialize a real [B,L,H,D]->[B,H,L,D] transpose
+# copy around every pallas call (pallas custom calls demand default
+# layouts), measured at ~0.6 ms/step of the canonical fused step — ~8% of
+# device-busy (BASELINE.md "copy tax", scripts/probe_mfu.py). A 4-D
+# [B,L,H,D] BlockSpec cannot fix it: Mosaic requires a block's last two
+# dims to be (8,128)-divisible or span the array, and (1, D) blocks over
+# the (H, D) minor dims are neither. [B, L, E] blocks span (L, E) — legal —
+# and every head's [b, D] slice is a static lane offset.
+#
+# Scope: SINGLE-BLOCK shapes only (the whole padded Lq and Lk fit one
+# block each — every canonical-shape attention after the single-pass-k
+# blocking). Long sequences keep the classic blocked kernels, where the
+# one-time transpose is amortized by O(L^2) attention work. No padding is
+# needed at all: the block spans the array, so there are no phantom k
+# columns (the kv mask alone defines validity).
+
+# VMEM guard: the backward holds several [Lq, Lk] f32 intermediates per head
+# plus the (1, L, E) blocks; 512 covers the canonical 257/300-token shapes
+# with wide margin while keeping worst-case VMEM ~ a few MB
+BLE_MAX_L = 512
+
+
+def _fwd_kernel_ble(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                    scale, num_heads, head_dim, mxu_bf16):
+    mask = mask_ref[0]                                # [1, Lk]
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = _mxu_in(q_ref[0][:, sl], mxu_bf16)        # [Lq, D]
+        k = _mxu_in(k_ref[0][:, sl], mxu_bf16)        # [Lk, D]
+        v = _mxu_in(v_ref[0][:, sl], mxu_bf16)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        s = jnp.where(mask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)        # [Lq, 1]
+        p = jnp.exp(s - m)                            # masked cols: exact 0
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        # fully-masked rows (whole sample masked): zero, as the classic
+        # kernel's _finish does
+        fully_masked = m <= _NEG_INF * 0.5
+        acc = jax.lax.dot(_mxu_in(p, mxu_bf16), v,
+                          preferred_element_type=jnp.float32)
+        o = jnp.where(fully_masked, 0.0, acc / jnp.maximum(l, 1e-30))
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        lse_ref[0, :, h * _LANES:(h + 1) * _LANES] = jnp.broadcast_to(
+            m + jnp.log(jnp.maximum(l, 1e-30)), (q.shape[0], _LANES))
+
+
+def _bwd_kernel_ble(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
+                    dq_ref, dk_ref, dv_ref, *, scale, num_heads, head_dim,
+                    mxu_bf16):
+    """Single-launch dq/dk/dv, all heads; delta computed in-kernel (the
+    classic path materializes it on the host side of the call)."""
+    mask = mask_ref[0]
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = _mxu_in(q_ref[0][:, sl], mxu_bf16)
+        k = _mxu_in(k_ref[0][:, sl], mxu_bf16)
+        v = _mxu_in(v_ref[0][:, sl], mxu_bf16)
+        do = do_ref[0][:, sl].astype(jnp.float32)
+        o = o_ref[0][:, sl].astype(jnp.float32)
+        lse = lse_ref[0][:, h * _LANES:h * _LANES + 1]    # [Lq, 1]
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)   # [Lq, 1]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        p = jnp.where(mask, p, 0.0)                       # [Lq, Lk]
+        dom = _mxu_in(do, mxu_bf16)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            _mxu_in(p, mxu_bf16), dom, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(dom, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        if scale != 1.0:
+            ds = ds * scale
+        dsm = _mxu_in(ds, mxu_bf16)
+        dq_ref[0, :, sl] = jax.lax.dot(
+            dsm, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            dsm, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _ble_call(kernel, inputs, out_shapes, B, scale, num_heads, head_dim,
+              mxu_bf16):
+    kw = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
+
+    def spec(x):
+        return pl.BlockSpec((1,) + x.shape[1:], lambda b: (b,) + (0,) * (x.ndim - 1),
+                            **kw)
+
+    return pl.pallas_call(
+        functools.partial(kernel, scale=scale, num_heads=num_heads,
+                          head_dim=head_dim, mxu_bf16=mxu_bf16),
+        grid=(B,),
+        in_specs=[spec(x) for x in inputs],
+        out_specs=[pl.BlockSpec((1,) + s.shape[1:],
+                                lambda b, nd=len(s.shape): (b,) + (0,) * (nd - 1),
+                                **kw)
+                   for s in out_shapes],
+        out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(*inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_core_ble(q, k, v, kv_mask, scale, num_heads, mxu_bf16):
+    out, _ = _flash_core_ble_fwd(q, k, v, kv_mask, scale, num_heads, mxu_bf16)
+    return out
+
+
+def _flash_core_ble_fwd(q, k, v, kv_mask, scale, num_heads, mxu_bf16):
+    B, Lq, E = q.shape
+    D = E // num_heads
+    maskp = kv_mask[:, None, :]
+    o, lse = _ble_call(
+        _fwd_kernel_ble, [q, k, v, maskp],
+        [jax.ShapeDtypeStruct((B, Lq, E), q.dtype),
+         jax.ShapeDtypeStruct((B, Lq, num_heads * _LANES), jnp.float32)],
+        B, scale, num_heads, D, mxu_bf16)
+    return o, (q, k, v, kv_mask, o, lse)
+
+
+def _flash_core_ble_bwd(scale, num_heads, mxu_bf16, res, do):
+    q, k, v, kv_mask, o, lse = res
+    B, Lq, E = q.shape
+    Lk = k.shape[1]
+    D = E // num_heads
+    maskp = kv_mask[:, None, :]
+    dq, dk, dv = _ble_call(
+        _bwd_kernel_ble, [q, k, v, maskp, do, o, lse],
+        [jax.ShapeDtypeStruct((B, Lq, E), q.dtype),
+         jax.ShapeDtypeStruct((B, Lk, E), k.dtype),
+         jax.ShapeDtypeStruct((B, Lk, E), v.dtype)],
+        B, scale, num_heads, D, mxu_bf16)
+    dmask = (None if kv_mask is None
+             else np.zeros(kv_mask.shape, dtype=jax.dtypes.float0))
+    return dq, dk, dv, dmask
+
+
+_flash_core_ble.defvjp(_flash_core_ble_fwd, _flash_core_ble_bwd)
+
+
+def flash_mha_ble(q, k, v, kv_mask=None, scale=None, num_heads: int = 4,
+                  mxu_bf16: bool = False):
+    """E-layout flash attention: q [B, Lq, E], k/v [B, Lk, E] -> [B, Lq, E].
+
+    Single-block shapes only (see the section comment); same per-head dots
+    and masked softmax as `flash_mha` — bit-identical when the classic path
+    needs no k padding, few-ulp reduction-order differences otherwise
+    (classic contracts over the 128-padded k width; interpret-mode parity
+    tests in tests/test_kernels.py)."""
+    if pltpu is None and not _INTERPRET:
+        raise RuntimeError("Pallas TPU backend unavailable")
+    E = q.shape[-1]
+    if E % num_heads:
+        raise ValueError(f"E={E} not divisible by num_heads={num_heads}")
+    if scale is None:
+        scale = (E // num_heads) ** -0.5
+    if kv_mask is None:
+        kv_mask = jnp.ones((q.shape[0], k.shape[1]), dtype=bool)
+    q = q * jnp.asarray(scale, q.dtype)  # fold scale outside the VJP core
+    return _flash_core_ble(q, k, v, kv_mask, 1.0, num_heads, bool(mxu_bf16))
+
+
 # ------------------------------------------------------------------ plumbing
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
@@ -559,8 +733,43 @@ def _dim_ge(dim, bound: int) -> bool:
 
 
 def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True,
-               mxu_bf16: bool = False):
-    """Dispatch: Pallas kernel on TPU for non-tiny query lengths, else jnp."""
+               mxu_bf16: bool = False, layout: str = "bhld",
+               num_heads: int = None):
+    """Dispatch: Pallas kernel on TPU for non-tiny query lengths, else jnp.
+
+    `layout="ble"` (requires `num_heads`): q/k/v and the output are
+    [B, L, E] — the raw projection layout. Single-block shapes
+    (MIN_PALLAS_LQ <= Lq, both L <= BLE_MAX_L) take `flash_mha_ble`, which
+    consumes that layout in place and so skips the [B,L,H,D]->[B,H,L,D]
+    transpose copies the classic layout forces around the custom call
+    (BASELINE.md "copy tax"); other shapes split heads here and recurse
+    into the classic dispatch (long sequences amortize the transpose under
+    O(L^2) attention work; tiny queries use the jnp reference anyway).
+    """
+    if layout == "ble":
+        if num_heads is None:
+            raise ValueError("layout='ble' requires num_heads")
+        B, Lq, E = q.shape
+        Lk = k.shape[1]
+        on_tpu_ = jax.default_backend() == "tpu"
+        if (use_pallas and not _pallas_disabled()
+                and _dim_ge(Lq, MIN_PALLAS_LQ)
+                and not _dim_ge(Lq, BLE_MAX_L + 1)
+                and not _dim_ge(Lk, BLE_MAX_L + 1)
+                and (_INTERPRET or (on_tpu_ and pltpu is not None))):
+            try:
+                return flash_mha_ble(q, k, v, kv_mask, scale=scale,
+                                     num_heads=num_heads, mxu_bf16=mxu_bf16)
+            except Exception:
+                pass
+        D = E // num_heads
+
+        def split(x):
+            return x.reshape(B, x.shape[1], num_heads, D).transpose(0, 2, 1, 3)
+
+        out = masked_mha(split(q), split(k), split(v), kv_mask, scale=scale,
+                         use_pallas=use_pallas, mxu_bf16=mxu_bf16)
+        return out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
     on_tpu = jax.default_backend() == "tpu"
     if (use_pallas and not _pallas_disabled()
             and _dim_ge(q.shape[2], MIN_PALLAS_LQ)

@@ -38,6 +38,7 @@ class MaskedMultiHeadAttention(nn.Module):
     use_pallas: bool = False
     mxu_bf16: bool = False    # bf16 MXU operands inside the flash kernels
     mesh: Any = None          # enables ring (sequence-parallel) self-attention
+    flash_layout: str = "ble"  # see FusionConfig.flash_layout
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -66,6 +67,15 @@ class MaskedMultiHeadAttention(nn.Module):
             batch_axis = "data" if data_ax > 1 and B % data_ax == 0 else None
             out = ring_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
                            mesh=self.mesh, axis="model", batch_axis=batch_axis)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+        elif self.flash_layout == "ble":
+            # [B, L, E] straight off the projections: the E-layout kernel
+            # consumes it in place (head split by lane slices inside), so
+            # XLA never materializes the [B,L,H,D]->[B,H,L,D] transpose
+            # around the custom call — the "copy tax" fix (BASELINE.md)
+            out = masked_mha(q, k, v, kv_mask, use_pallas=self.use_pallas,
+                             mxu_bf16=self.mxu_bf16, layout="ble",
+                             num_heads=H)
         else:
             # the flash kernels are first-order differentiable (custom VJP),
             # which suffices everywhere: the GP inner grad never reaches
@@ -73,7 +83,7 @@ class MaskedMultiHeadAttention(nn.Module):
             out = masked_mha(split(q, Lq), split(k, Lk), split(v, Lk), kv_mask,
                              use_pallas=self.use_pallas,
                              mxu_bf16=self.mxu_bf16)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
         out = nn.Dense(E, dtype=self.dtype, name="out_proj")(out)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -88,6 +98,7 @@ class TransformerEncoderLayer(nn.Module):
     use_pallas: bool = False
     mxu_bf16: bool = False
     mesh: Any = None
+    flash_layout: str = "ble"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -95,7 +106,7 @@ class TransformerEncoderLayer(nn.Module):
         attn = MaskedMultiHeadAttention(
             self.embed_dim, self.num_heads, dropout=self.dropout,
             use_pallas=self.use_pallas, mxu_bf16=self.mxu_bf16,
-            mesh=self.mesh, dtype=self.dtype,
+            mesh=self.mesh, flash_layout=self.flash_layout, dtype=self.dtype,
         )(x, x, mask, deterministic=deterministic)
         x = nn.LayerNorm(dtype=jnp.float32)(x + attn)
         h = nn.Dense(self.ff_dim, dtype=self.dtype)(x)
@@ -117,6 +128,7 @@ class TransformerEncoder(nn.Module):
     use_pallas: bool = False
     mxu_bf16: bool = False
     mesh: Any = None
+    flash_layout: str = "ble"
     dtype: Optional[jnp.dtype] = None
     # rematerialize each layer in backward: trades recompute for activation
     # memory — required for whole-slide patch counts (>=16k) on one chip
@@ -137,7 +149,8 @@ class TransformerEncoder(nn.Module):
             x = layer_cls(
                 self.embed_dim, self.num_heads, self.ff_dim, self.dropout,
                 use_pallas=self.use_pallas, mxu_bf16=self.mxu_bf16,
-                mesh=self.mesh, dtype=self.dtype,
+                mesh=self.mesh, flash_layout=self.flash_layout,
+                dtype=self.dtype,
                 name=f"TransformerEncoderLayer_{i}",
             )(x, mask, deterministic)
         return x

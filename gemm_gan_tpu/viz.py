@@ -3,8 +3,8 @@
 Capability parity with /root/reference/src/visualization.py:47-451
 (`plot_curves`, `tsne_2d`, `umap_2d`, `plot_umaps`, `plot_tsne_2d`,
 distribution/distance-matrix plots). umap-learn is not available in this
-environment, so `umap_2d` falls back to PCA-initialized t-SNE with a
-documented warning; all figure functions accept an `out_path` and use the
+environment, so `umap_2d` falls back to the from-scratch UMAP in
+`utils/umap_lite.py`; all figure functions accept an `out_path` and use the
 Agg backend (headless TPU hosts).
 """
 
@@ -52,15 +52,21 @@ def tsne_2d(data: np.ndarray, perplexity: float = 30.0, seed: int = 42) -> np.nd
 
 
 def umap_2d(data: np.ndarray, n_neighbors: int = 15, seed: int = 42) -> np.ndarray:
-    """UMAP embedding (parity: visualization.py:71-80); falls back to t-SNE
-    when umap-learn is unavailable."""
+    """UMAP embedding (parity: visualization.py:71-80). Uses umap-learn when
+    present; otherwise the from-scratch implementation of the same algorithm
+    in `utils/umap_lite.py` (fuzzy kNN graph -> spectral init ->
+    negative-sampling layout) — a real UMAP picture, not the round-1 t-SNE
+    stand-in."""
     try:
         import umap  # type: ignore
 
         return umap.UMAP(n_components=2, n_neighbors=n_neighbors,
                          random_state=seed).fit_transform(data)
     except ImportError:
-        return tsne_2d(data, seed=seed)
+        from gemm_gan_tpu.utils.umap_lite import umap_embed
+
+        return umap_embed(np.asarray(data, np.float64), n_components=2,
+                          n_neighbors=n_neighbors, seed=seed)
 
 
 def plot_embedding_panels(real: np.ndarray, fake: np.ndarray,

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_engine(tiny: bool):
+def build_engine(tiny: bool, layout: str = None):
     import jax
 
     from gemm_gan_tpu.config import variant_config
@@ -34,6 +34,8 @@ def build_engine(tiny: bool):
     from _flagship import dims_and_fusion_kw
 
     dims, fusion_kw = dims_and_fusion_kw(full=not tiny)
+    if layout is not None:
+        fusion_kw = dict(fusion_kw, flash_layout=layout)
     n_genes, n_patches, patch_dim, n_tokens, text_dim = (
         dims["n_genes"], dims["n_patches"], dims["patch_dim"],
         dims["n_tokens"], dims["text_dim"])
@@ -62,13 +64,16 @@ def main():
                     help="profile step_many (lax.scan of --steps steps, one "
                          "program) instead of per-step dispatches")
     ap.add_argument("--topk", type=int, default=30)
+    ap.add_argument("--layout", default=None, choices=["ble", "bhld"],
+                    help="override FusionConfig.flash_layout (A/B the "
+                         "E-layout kernel vs the classic transposed path)")
     ap.add_argument("--out", default="/tmp/gemm_gan_profile")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    eng, batch = build_engine(args.tiny)
+    eng, batch = build_engine(args.tiny, layout=args.layout)
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
     dev_batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}

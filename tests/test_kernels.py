@@ -218,3 +218,96 @@ def test_flash_mxu_bf16_close_to_f32(rng, Lq, Lk, monkeypatch):
     for a, b, name in zip(g16, g32, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-2, err_msg=f"d{name}")
+
+
+def _to_ble(x):
+    B, H, L, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+
+
+def _from_ble(x, H):
+    B, L, E = x.shape
+    return x.reshape(B, L, H, E // H).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("Lq,Lk", [(136, 24), (128, 128), (136, 300),
+                                   (257, 257)])
+def test_flash_ble_matches_classic(rng, Lq, Lk, monkeypatch):
+    """The E-layout kernel runs the SAME per-head dots and masked softmax as
+    the classic single-block path (ble exists purely to kill the transpose
+    copies around the custom call). When the classic path needs no k
+    padding (Lk a 128-multiple), outputs are bit-identical; otherwise the
+    classic kernel contracts over a zero-padded width (`_prep` rounds Lk up
+    to 128) and reduction order differs by a few ulps — assert tight
+    allclose plus agreement with the jnp reference."""
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    q, k, v, mask = _rand_qkv(rng, Lq=Lq, Lk=Lk)
+    H = q.shape[1]
+    want = fa.flash_mha(q, k, v, mask)  # default blocks -> single-pass k
+    got = _from_ble(fa.flash_mha_ble(_to_ble(q), _to_ble(k), _to_ble(v),
+                                     mask, num_heads=H), H)
+    if Lk % 128 == 0 and Lq % 8 == 0:
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    else:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+    ref = fa.mha_reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("Lq,Lk", [(136, 24), (257, 257)])
+def test_flash_ble_backward_matches_classic(rng, Lq, Lk, monkeypatch):
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    q, k, v, mask = _rand_qkv(rng, Lq=Lq, Lk=Lk)
+    H = q.shape[1]
+    cot = jnp.asarray(np.random.RandomState(7).randn(
+        *q.shape[:2], Lq, q.shape[-1]).astype(np.float32))
+
+    def loss_classic(q, k, v):
+        return jnp.sum(fa.flash_mha(q, k, v, mask) * cot)
+
+    def loss_ble(q, k, v):
+        out = fa.flash_mha_ble(_to_ble(q), _to_ble(k), _to_ble(v), mask,
+                               num_heads=H)
+        return jnp.sum(_from_ble(out, H) * cot)
+
+    g_a = jax.grad(loss_classic, argnums=(0, 1, 2))(q, k, v)
+    g_b = jax.grad(loss_ble, argnums=(0, 1, 2))(q, k, v)
+    # few-ulp reduction-order slack: the classic bwd contracts over the
+    # 128-padded k width (see test_flash_ble_matches_classic)
+    for ga, gb, name in zip(g_a, g_b, "qkv"):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=2e-5, atol=2e-6, err_msg=f"d{name}")
+
+
+def test_masked_mha_ble_fallback_paths(rng, monkeypatch):
+    """ble through the non-kernel dispatches: tiny query (jnp reference) and
+    beyond-BLE_MAX_L (classic blocked kernels) — same numbers either way."""
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    for Lq, Lk in [(4, 24), (136, fa.BLE_MAX_L + 72)]:
+        q, k, v, mask = _rand_qkv(rng, Lq=Lq, Lk=Lk)
+        H = q.shape[1]
+        want = fa.masked_mha(q, k, v, mask, use_pallas=True)
+        got = fa.masked_mha(_to_ble(q), _to_ble(k), _to_ble(v), mask,
+                            use_pallas=True, layout="ble", num_heads=H)
+        np.testing.assert_allclose(np.asarray(_from_ble(got, H)),
+                                   np.asarray(want), rtol=1e-5, atol=1e-6,
+                                   err_msg=f"Lq={Lq},Lk={Lk}")
+
+
+def test_masked_mha_ble_requires_num_heads(rng):
+    q, k, v, mask = _rand_qkv(rng)
+    with pytest.raises(ValueError, match="num_heads"):
+        fa.masked_mha(_to_ble(q), _to_ble(k), _to_ble(v), mask, layout="ble")
+
+
+def test_fully_masked_rows_zero_ble(rng, monkeypatch):
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    q, k, v, _ = _rand_qkv(rng, Lq=136, Lk=40)
+    H = q.shape[1]
+    mask = jnp.zeros((q.shape[0], 40), bool).at[1].set(True)
+    out = fa.flash_mha_ble(_to_ble(q), _to_ble(k), _to_ble(v), mask,
+                           num_heads=H)
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    assert bool(jnp.isfinite(out).all())

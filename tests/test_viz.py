@@ -67,3 +67,54 @@ def test_plot_learned_graph(rng, tmp_path):
     np.testing.assert_array_equal(
         np.load(tmp_path / "learned_graph7.npy"), adj)
     assert png.endswith("learned_graph7.png")
+
+
+# ------------------------------------------------------------ umap_lite
+def test_umap_lite_separates_clusters_and_is_deterministic():
+    """The from-scratch UMAP (utils/umap_lite.py) must actually lay out
+    structure: 3 well-separated 50-d gaussian clusters stay separated in the
+    2-d embedding (nearest-centroid accuracy ~1), and a fixed seed is
+    bitwise reproducible. Reference capability: visualization.py:71-80
+    (umap-learn, absent from this image)."""
+    from gemm_gan_tpu.utils.umap_lite import umap_embed
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(3, 50) * 6
+    labels = np.repeat(np.arange(3), 60)
+    X = centers[labels] + rng.randn(180, 50)
+    emb = umap_embed(X, n_epochs=200, seed=42)
+    assert emb.shape == (180, 2) and np.isfinite(emb).all()
+    cents = np.stack([emb[labels == i].mean(0) for i in range(3)])
+    pred = np.argmin(((emb[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    assert (pred == labels).mean() >= 0.95
+    emb2 = umap_embed(X, n_epochs=200, seed=42)
+    np.testing.assert_array_equal(emb, emb2)
+
+
+def test_umap_lite_fuzzy_graph_properties():
+    """Calibration invariants of the fuzzy simplicial set: smoothed kNN
+    weights sum to ~log2(k) per row pre-symmetrization, and the symmetrized
+    graph is symmetric with weights in (0, 1]."""
+    from scipy.sparse import coo_matrix
+
+    from gemm_gan_tpu.utils.umap_lite import (_fuzzy_graph, _knn,
+                                              _smooth_knn_weights)
+
+    rng = np.random.RandomState(1)
+    X = rng.randn(100, 10)
+    k = 12
+    _, dst = _knn(X, k)
+    _, _, w = _smooth_knn_weights(dst, k)
+    np.testing.assert_allclose(w.sum(axis=1), np.log2(k), rtol=0.05)
+    h, t, wt, n = _fuzzy_graph(X, k)
+    g = coo_matrix((wt, (h, t)), shape=(n, n)).toarray()
+    np.testing.assert_allclose(g, g.T, atol=1e-12)
+    assert (wt > 0).all() and (wt <= 1.0 + 1e-12).all()
+
+
+def test_umap_2d_uses_lite_fallback():
+    from gemm_gan_tpu import viz as v
+
+    X = np.random.RandomState(2).randn(40, 8)
+    emb = v.umap_2d(X, n_neighbors=8, seed=3)
+    assert emb.shape == (40, 2) and np.isfinite(emb).all()
