@@ -45,23 +45,29 @@ DENSE_GENES = 18868   # canonical post-filter width
 SPARSE_GENES = 132    # >90%-zero genes the filter must drop
 
 
-def build_data_dir(d: str, cases: int, seed: int = 7) -> None:
+def build_data_dir(d: str, cases: int, seed: int = 7,
+                   genes: int = DENSE_GENES, sparse_genes: int = SPARSE_GENES,
+                   num_patches: int = 256, patch_dim: int = 1024,
+                   num_tokens: int = 300, text_dim: int = 768) -> None:
     import pandas as pd
 
     from gemm_gan_tpu.data.synthetic import structured_dataset
 
     os.makedirs(d, exist_ok=True)
     data = structured_dataset(
-        n=cases, n_genes=DENSE_GENES, rank=24, n_classes=8, n_sites=4,
-        num_patches=256, patch_dim=1024, num_tokens=300, text_dim=768,
+        n=cases, n_genes=genes, rank=min(24, max(2, genes // 4)),
+        n_classes=8, n_sites=4,
+        num_patches=num_patches, patch_dim=patch_dim,
+        num_tokens=num_tokens, text_dim=text_dim,
         seed=seed)
     rng = np.random.RandomState(seed + 1)
     case_ids = [f"case-{i:04d}" for i in range(cases)]
 
-    # expression matrix: 18,868 informative genes + 132 sparse (>90% zeros)
-    # interleaved at random column positions, so the filter does real work
-    sparse = np.zeros((cases, SPARSE_GENES), np.float32)
-    nz_rows = rng.rand(cases, SPARSE_GENES) > 0.95     # ~5% nonzero
+    # expression matrix: `genes` informative genes + `sparse_genes` sparse
+    # (>90% zeros) interleaved at random column positions, so the filter
+    # does real work (canonical: 18,868 + 132)
+    sparse = np.zeros((cases, sparse_genes), np.float32)
+    nz_rows = rng.rand(cases, sparse_genes) > 0.95     # ~5% nonzero
     sparse[nz_rows] = rng.rand(int(nz_rows.sum())).astype(np.float32)
     full = np.concatenate([data["genes"], sparse], axis=1)
     perm = rng.permutation(full.shape[1])
@@ -82,7 +88,8 @@ def build_data_dir(d: str, cases: int, seed: int = 7) -> None:
     os.makedirs(pdir, exist_ok=True)
     os.makedirs(tdir, exist_ok=True)
     # variable per-case patch counts (reference cases vary; loader re-pads)
-    n_valid = rng.randint(64, 257, size=cases)
+    n_valid = rng.randint(max(1, num_patches // 4), num_patches + 1,
+                          size=cases)
     for i, c in enumerate(case_ids):
         np.save(os.path.join(pdir, f"{c}.npy"), data["patches"][i, :n_valid[i]])
         np.save(os.path.join(tdir, f"{c}.npy"), data["tokens"][i])
@@ -119,6 +126,16 @@ def main():
                     help="freq_compute_test (validation every N epochs)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--rebuild-data", action="store_true")
+    # scale-down knobs so CI can execute the assembled script at toy shapes
+    # (tests/test_dress_rehearsal.py); defaults are the canonical run
+    ap.add_argument("--genes", type=int, default=DENSE_GENES)
+    ap.add_argument("--sparse-genes", type=int, default=SPARSE_GENES)
+    ap.add_argument("--patches", type=int, default=256)
+    ap.add_argument("--patch-dim", type=int, default=1024)
+    ap.add_argument("--tokens", type=int, default=300)
+    ap.add_argument("--text-dim", type=int, default=768)
+    ap.add_argument("--n-critic", type=int, default=None,
+                    help="override the variant preset's n_critic")
     args = ap.parse_args()
 
     times, t0 = {}, time.monotonic()
@@ -132,7 +149,10 @@ def main():
 
     if args.rebuild_data or not os.path.exists(
             os.path.join(args.data_dir, "metainfos.pkl")):
-        build_data_dir(args.data_dir, args.cases)
+        build_data_dir(args.data_dir, args.cases,
+                       genes=args.genes, sparse_genes=args.sparse_genes,
+                       num_patches=args.patches, patch_dim=args.patch_dim,
+                       num_tokens=args.tokens, text_dim=args.text_dim)
         mark("build_data")
 
     import jax
@@ -153,10 +173,11 @@ def main():
     from gemm_gan_tpu.config import save_config, variant_config
     from gemm_gan_tpu.data.tcga import load_tcga
 
-    splits = load_tcga(args.data_dir, schema="multi_token", num_patches=256,
+    splits = load_tcga(args.data_dir, schema="multi_token",
+                       num_patches=args.patches,
                        normalization="standardize", seed=42, patch_bank=True)
     meta = splits["meta"]
-    assert meta["n_genes"] == DENSE_GENES, meta["n_genes"]
+    assert meta["n_genes"] == args.genes, meta["n_genes"]
     mark("load_tcga")
 
     fusion_kw = dict(n_disease_types=len(meta["disease_vocab"]),
@@ -165,14 +186,16 @@ def main():
                      max_tokens=meta["num_tokens"])
     cfg = variant_config("film_cross_attention", n_genes=meta["n_genes"],
                          fusion_kw=fusion_kw)
+    train_kw = dict(epochs=args.epochs, freq_compute_test=args.freq,
+                    cond_embed_reuse="per_update", drift_epsilon=1e-3)
+    if args.n_critic is not None:
+        train_kw["n_critic"] = args.n_critic
     cfg = dataclasses.replace(
         cfg,
         run_name="rehearsal", output_dir=args.out,
-        train=dataclasses.replace(
-            cfg.train, epochs=args.epochs, freq_compute_test=args.freq,
-            cond_embed_reuse="per_update", drift_epsilon=1e-3),
+        train=dataclasses.replace(cfg.train, **train_kw),
         data=dataclasses.replace(cfg.data, data_dir=args.data_dir,
-                                 num_patches=256),
+                                 num_patches=args.patches),
     )
     exp = Experiment(cfg, splits)
     save_config(cfg, os.path.join(exp.out_dir, "config.json"))
