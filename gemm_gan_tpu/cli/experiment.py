@@ -535,6 +535,12 @@ class Experiment:
     def evaluate(self) -> Dict:
         """Restore checkpoint and rerun the test block (parity: :869-1015).
 
+        Dump dirs are named by the EPOCH the restored step corresponds to
+        (the reference hardcodes `test_{run}_epoch_500`, i.e. the final
+        epoch, and overwrites fit's dumps with the regenerated equivalents —
+        :907-917; the regeneration is bitwise-identical after a full-run
+        restore, proven on-chip in BASELINE.md "dress rehearsal").
+
         Multi-process: restore is collective (every rank calls with the
         global-array template so Orbax re-places shards); the returned
         summary is rank-0-only (`{}` elsewhere)."""
@@ -542,7 +548,13 @@ class Experiment:
         template = self._state_for_save(
             self.engine.init_state(self.cfg.train.seed, sample_batch))
         state = restore_state(os.path.join(self.out_dir, "ckpt"), template)
-        return self._test_block(state, epoch=int(jax.device_get(state.step)))
+        # same steps-per-epoch accounting as fit()/resume_or_fresh: the scan
+        # path counts full batches per epoch, the per-batch path counts all
+        train = self.loaders["train"]
+        steps_per_epoch = train.n_full_batches or len(train)
+        epoch = min(int(jax.device_get(state.step)) // max(steps_per_epoch, 1),
+                    self.cfg.train.epochs)
+        return self._test_block(state, epoch=epoch)
 
     # -------------------------------------------------------------- post-hoc
     def posthoc_utility(self) -> Dict:

@@ -70,9 +70,24 @@ def test_dump_contract(experiment_run):
 
 
 def test_evaluate_restores_checkpoint(experiment_run):
+    """evaluate() = collective restore + test-block rerun. It names the dump
+    dirs by the epoch the restored step reached and OVERWRITES fit's dumps
+    (reference semantics: test_{run}_epoch_500 hardcoded at
+    conditional_gan_concat.py:907) — and because restore is exact and the
+    test-block RNG is reseeded per call, the regenerated dumps must be
+    bitwise-identical to fit's (proven on-chip too: BASELINE.md rehearsal)."""
     exp, _ = experiment_run
+    dirs = sorted(glob.glob(os.path.join(exp.out_dir, "test_*_epoch_*")))
+    before = {d: {f: np.load(os.path.join(d, f)) for f in os.listdir(d)
+                  if f.endswith(".npy")} for d in dirs}
     results = exp.evaluate()
     assert np.isfinite(results["gamma_mean"])
+    after = sorted(glob.glob(os.path.join(exp.out_dir, "test_*_epoch_*")))
+    assert after == dirs  # overwrote, didn't add step-named dirs
+    for d, files in before.items():
+        for f, arr in files.items():
+            np.testing.assert_array_equal(
+                arr, np.load(os.path.join(d, f)), err_msg=f"{d}/{f}")
 
 
 def test_posthoc_utility_and_privacy(experiment_run):

@@ -69,8 +69,11 @@ def test_two_process_experiment_matches_single_process(tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-6000:]}"
 
     mp_dir = os.path.join(str(tmp_path), "mp", "proto")
-    # fit() dumps at epoch == t.epochs == 4; the worker's evaluate() adds
-    # test_*_epoch_16 dirs (epoch = restored step counter) — compare fit's
+    # fit() dumps at epoch == t.epochs == 4; the worker's evaluate() derives
+    # the same epoch from the restored step and OVERWRITES them with the
+    # regenerated equivalents (reference semantics, conditional_gan_concat.py
+    # :907) — so the mp side here is evaluate()'s post-restore regeneration,
+    # an even stronger restore-fidelity check against the sp fit dumps
     sp_runs = sorted(glob(os.path.join(sp_dir, "test_*_epoch_4")))
     mp_runs = sorted(glob(os.path.join(mp_dir, "test_*_epoch_4")))
     assert len(sp_runs) == len(mp_runs) == 2, (sp_runs, mp_runs)
