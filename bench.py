@@ -215,6 +215,14 @@ def wait_for_backend(attempts: int = 6, probe_timeout: int = 90,
 def main():
     import sys
 
+    # Persistent compile cache — WORKS over the tunneled axon backend
+    # (measured: skipping the remote fused-step compile cut the first call
+    # from 287 s to 163 s, scripts/probe_scan_overhead.py 2026-08-19) and
+    # sidesteps the tunnel's transient remote-compile failures on re-runs.
+    from gemm_gan_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if not wait_for_backend():
         print("bench: accelerator backend unavailable (tunnel down?); "
               "refusing to hang or fabricate a number", file=sys.stderr)

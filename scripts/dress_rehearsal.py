@@ -161,11 +161,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     # persistent compile cache (same dir as tests/conftest.py): a re-run of
     # the rehearsal shouldn't pay the fused-step compile twice
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".cache", "jax_compile")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from gemm_gan_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
 

@@ -54,6 +54,10 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
+    from gemm_gan_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # share the suite's warm fused-step cache
+
     from gemm_gan_tpu.parallel.mesh import distributed_init, make_mesh
 
     distributed_init(coordinator_address=f"localhost:{port}",
