@@ -138,11 +138,29 @@ class Experiment:
                     drop_remainder=False, process_index=self.pid,
                     process_count=self.nproc, shard_mode="batch")
             self.loaders = {"train": train_loader}
+
             # generation loaders mirror the single-process host loaders
             # exactly (same batch_size/seed/shuffle), full split on every
-            # rank; only the per-batch generation work is divided
+            # rank; only the per-batch generation work is divided. Under
+            # shard_bank they mirror the single-process shard_bank eval
+            # path instead: a one-time host patch subsample to num_patches
+            # (full-width banks would reintroduce the per-rank attention
+            # memory cliff shard_bank exists to remove), and train trimmed
+            # to the cases the sharded bank actually trained (equal slices,
+            # remainder dropped above).
+            def gen_split(name):
+                s = splits[name]
+                if cfg.data.shard_bank:
+                    if name == "train":
+                        n_tr = len(s["genes"])
+                        keep = (n_tr // self.nproc) * self.nproc
+                        if keep < n_tr:
+                            s = {k: v[:keep] for k, v in s.items()}
+                    s = _host_subsample_patches(s, cfg.data.num_patches, t.seed)
+                return s
+
             self.gen_loaders = {
-                name: Batches(splits[name], t.batch_size, seed=t.seed,
+                name: Batches(gen_split(name), t.batch_size, seed=t.seed,
                               shuffle=(name == "train"), drop_remainder=False)
                 for name in ("train", "val", "test") if name in splits}
         elif cfg.data.shard_bank and mesh is not None:
@@ -253,8 +271,8 @@ class Experiment:
         offsets = np.concatenate([[0], np.cumsum(sizes)])
         n_rows = int(offsets[-1])
         n_genes = batches[0]["genes"].shape[1]
-        fakes = np.zeros((num_repeats * n_rows, n_genes), np.float32)
         reals, diseases, sites = [], [], []
+        mine = []  # this rank's generated rows, in (repeat, batch) order
         for r in range(num_repeats):
             for k_idx, batch in enumerate(batches):
                 reals.append(np.asarray(batch["genes"]))
@@ -265,13 +283,30 @@ class Experiment:
                 if k_idx % self.nproc != self.pid:
                     continue
                 sub = jax.random.fold_in(jax.random.fold_in(key, k_idx), r)
-                fake = np.asarray(self._local_sample(
-                    params, sub, cond_of(batch), n=sizes[k_idx]))
+                mine.append(np.asarray(self._local_sample(
+                    params, sub, cond_of(batch), n=sizes[k_idx])))
+        # compact reassembly: the batch->rank assignment (k % P) and all row
+        # counts are deterministic and known to every rank, so each rank
+        # gathers only its OWN generated rows (padded to the max per-rank
+        # count) — ~1/P the wire bytes and host memory of allgathering a
+        # full zero-filled [num_repeats*N, G] buffer from every rank
+        counts = [num_repeats * int(sum(sizes[k] for k in range(len(sizes))
+                                        if k % self.nproc == p))
+                  for p in range(self.nproc)]
+        buf = np.zeros((max(counts), n_genes), np.float32)
+        if mine:
+            local = np.concatenate(mine)
+            buf[:local.shape[0]] = local
+        gathered = np.asarray(multihost_utils.process_allgather(buf))
+        fakes = np.empty((num_repeats * n_rows, n_genes), np.float32)
+        cursor = [0] * self.nproc
+        for r in range(num_repeats):
+            for k_idx in range(len(sizes)):
+                p = k_idx % self.nproc
                 s = r * n_rows + int(offsets[k_idx])
-                fakes[s:s + fake.shape[0]] = fake
-        # disjoint fills -> elementwise sum across ranks reassembles exactly
-        fakes = np.asarray(multihost_utils.process_allgather(fakes)).sum(
-            axis=0, dtype=np.float32)
+                fakes[s:s + sizes[k_idx]] = \
+                    gathered[p, cursor[p]:cursor[p] + sizes[k_idx]]
+                cursor[p] += sizes[k_idx]
         out = {"real": np.concatenate(reals), "fake": fakes}
         if diseases:
             out["disease"] = np.concatenate(diseases)

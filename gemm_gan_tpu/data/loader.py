@@ -13,6 +13,7 @@ runs each process iterates its own shard of the index space.
 from __future__ import annotations
 
 from typing import Dict, Iterator, Optional
+import warnings
 
 import numpy as np
 
@@ -26,6 +27,21 @@ class Batches:
         for k, v in data.items():
             assert len(v) == n, f"length mismatch for {k}"
         assert shard_mode in ("strided", "batch"), shard_mode
+        if process_count > 1 and not drop_remainder:
+            # every process must contribute EQUAL rows to each assembled
+            # global array (place_batch / make_array_from_process_local_data),
+            # so per-epoch rows that don't split evenly across processes are
+            # dropped even with drop_remainder=False — warn once, loudly,
+            # instead of silently diverging from the single-process stream
+            dropped = ((n % (batch_size * process_count)) % process_count
+                       if shard_mode == "batch" else n % process_count)
+            if dropped:
+                warnings.warn(
+                    f"Batches: {dropped} of {n} rows per epoch cannot split "
+                    f"evenly across {process_count} processes and are "
+                    f"dropped despite drop_remainder=False (shard_mode="
+                    f"{shard_mode!r}); multi- vs single-process epoch "
+                    "streams differ by those rows", stacklevel=2)
         self.data = data
         self.n = n
         self.batch_size = batch_size
@@ -42,8 +58,10 @@ class Batches:
         #   batch a single-process loader with batch_size*count would yield —
         #   the multi-host experiment protocol uses this for exact single- vs
         #   multi-process training-stream parity. A ragged epoch tail is
-        #   yielded only when it splits evenly across processes (all
-        #   processes must contribute equal rows to a global array).
+        #   truncated to the largest multiple of process_count (all
+        #   processes must contribute equal rows to a global array); the
+        #   < process_count leftover rows are dropped with a constructor
+        #   warning.
         self.shard_mode = shard_mode
         self._epoch = 0
 
@@ -59,7 +77,7 @@ class Batches:
             if self.drop_remainder:
                 return full
             tail = self.n - full * global_b
-            return full + (1 if tail and tail % self.process_count == 0 else 0)
+            return full + (1 if tail >= self.process_count else 0)
         per_host = self.n // self.process_count
         if self.drop_remainder:
             return per_host // self.batch_size
@@ -81,13 +99,18 @@ class Batches:
                 take = idx[s:s + self.batch_size]
                 yield {k2: v[take] for k2, v in self.data.items()}
             tail = idx[full * global_b:]
-            if (not self.drop_remainder and len(tail)
-                    and len(tail) % self.process_count == 0):
-                t = len(tail) // self.process_count
+            t = len(tail) // self.process_count
+            if not self.drop_remainder and t:
+                # equal per-process tail slices; < process_count leftover
+                # rows are dropped (warned at construction)
                 take = tail[self.process_index * t:(self.process_index + 1) * t]
                 yield {k2: v[take] for k2, v in self.data.items()}
             return
+        # equal-length shards: every process yields the SAME batch structure
+        # (count and sizes), so assembled global arrays always line up and a
+        # jitted step never deadlocks on a rank with one extra batch
         idx = idx[self.process_index::self.process_count]
+        idx = idx[: self.n // self.process_count]
         stop = (len(idx) // self.batch_size) * self.batch_size if self.drop_remainder else len(idx)
         for s in range(0, stop, self.batch_size):
             take = idx[s:s + self.batch_size]

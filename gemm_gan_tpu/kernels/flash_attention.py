@@ -31,6 +31,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import threading
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -721,6 +722,22 @@ def disable_pallas():
         _TRACE_FLAGS.disabled = prev
 
 
+def _warn_flash_fallback(kind: str, err: Exception):
+    """The dispatch try/except below catches TRACE-time kernel failures only
+    (shape/constraint asserts the predicate didn't cover) and falls back to
+    the XLA path — but never silently: a quiet fallback would mask genuine
+    kernel bugs and throw away the copy-tax/roofline wins with zero signal.
+    Mosaic LOWERING failures are not catchable here at all (they surface at
+    jit-compile time, outside any trace-time try), so the shape predicates
+    in `masked_mha` are the real gate for those."""
+    warnings.warn(
+        f"flash_mha{kind} failed at trace time "
+        f"({type(err).__name__}: {err}); falling back to the XLA reference "
+        "path for this trace. If this is unexpected, the flash perf win is "
+        "being lost — check the kernel shape constraints.",
+        RuntimeWarning, stacklevel=3)
+
+
 def _dim_ge(dim, bound: int) -> bool:
     """`dim >= bound`, resolving to False for a symbolic dimension where the
     comparison is inconclusive (jax.export shape polymorphism: a
@@ -760,8 +777,8 @@ def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True,
             try:
                 return flash_mha_ble(q, k, v, kv_mask, scale=scale,
                                      num_heads=num_heads, mxu_bf16=mxu_bf16)
-            except Exception:
-                pass
+            except Exception as e:  # trace-time only; see _warn_flash_fallback
+                _warn_flash_fallback("_ble", e)
         D = E // num_heads
 
         def split(x):
@@ -776,8 +793,8 @@ def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True,
             and (_INTERPRET or (on_tpu and pltpu is not None))):
         try:
             return flash_mha(q, k, v, kv_mask, scale=scale, mxu_bf16=mxu_bf16)
-        except Exception:
-            pass
+        except Exception as e:  # trace-time only; see _warn_flash_fallback
+            _warn_flash_fallback("", e)
     if (_dim_ge(q.shape[2], BLOCKED_REF_MIN_LK)
             or _dim_ge(k.shape[2], BLOCKED_REF_MIN_LK)):
         return mha_reference_blocked(q, k, v, kv_mask, scale=scale)

@@ -154,10 +154,17 @@ def umap_embed(data: np.ndarray, n_components: int = 2, n_neighbors: int = 15,
         alpha = learning_rate * (1.0 - epoch / n_epochs)
         sel = rng.rand(len(p_edge)) < p_edge
         h, t = heads[sel], tails[sel]
-        # attraction along sampled edges
+        # attraction along sampled edges. Coincident endpoints (d2 == 0 —
+        # e.g. duplicated rows that spectral init places identically) get
+        # zero gradient, as in umap-learn's `if dist_squared > 0` guard:
+        # with b < 1, d2**(b-1) at 0 is inf and the -inf coefficient times
+        # the zero displacement would NaN-poison the whole layout.
         d = emb[h] - emb[t]
         d2 = np.einsum("ij,ij->i", d, d)
-        gcoef = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2 ** b)
+        safe = np.where(d2 > 0.0, d2, 1.0)
+        gcoef = np.where(
+            d2 > 0.0, (-2.0 * a * b * safe ** (b - 1.0)) / (1.0 + a * safe ** b),
+            0.0)
         grad = np.clip(gcoef[:, None] * d, -clip, clip)
         np.add.at(emb, h, alpha * grad)
         np.add.at(emb, t, -alpha * grad)

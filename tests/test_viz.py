@@ -112,6 +112,20 @@ def test_umap_lite_fuzzy_graph_properties():
     assert (wt > 0).all() and (wt <= 1.0 + 1e-12).all()
 
 
+def test_umap_lite_duplicate_rows_stay_finite():
+    """Duplicated rows (the shape of mode-collapsed GAN fakes) land on
+    identical spectral-init coordinates; the attraction gradient must zero
+    out at d2 == 0 (umap-learn's `dist_squared > 0` guard) instead of
+    NaN-poisoning the layout via inf * 0."""
+    from gemm_gan_tpu.utils.umap_lite import umap_embed
+
+    rng = np.random.RandomState(3)
+    X = np.repeat(rng.randn(5, 16), 12, axis=0)  # 60 rows, 5 unique
+    emb = umap_embed(X, n_neighbors=8, n_epochs=100, seed=0)
+    assert emb.shape == (60, 2)
+    assert np.isfinite(emb).all()
+
+
 def test_umap_2d_uses_lite_fallback():
     from gemm_gan_tpu import viz as v
 
