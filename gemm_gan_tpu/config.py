@@ -130,6 +130,13 @@ class TrainConfig:
     #   fusion.dropout == 0; with dropout > 0 it shares one dropout draw
     #   across the scores inside an update (tests/test_engine.py).
     cond_embed_reuse: str = "per_call"  # per_call | per_update
+    # Batch the critic's real/fake/interp trunk evaluations into ONE score
+    # call inside each per_update critic update (losses.batched_scores_and_gp)
+    # — same math (the trunk is per-sample and dropout-free), one read of the
+    # HBM-bound [n_genes, hidden] critic weights instead of three. Only
+    # active with cond_embed_reuse="per_update"; the per_call reference path
+    # keeps separate evaluations (independent per-call dropout draws).
+    batched_scores: bool = True
     # Gradient accumulation (beyond reference): split each update's batch
     # into `grad_accum` microbatches, scan them accumulating gradients, and
     # apply ONE optimizer update on the mean — activation/GP memory scales

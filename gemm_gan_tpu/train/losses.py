@@ -68,3 +68,37 @@ def gradient_penalty(disc_fn, real, fake, alpha_key, alpha=None):
     grads = jax.grad(lambda x: jnp.sum(disc_fn(x)))(interp)
     norms = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)
     return jnp.mean((norms - 1.0) ** 2)
+
+
+def batched_scores_and_gp(score_fn, real, fake, alpha_key, alpha=None):
+    """(D(real), D(fake), gradient penalty) from ONE batched trunk call.
+
+    `score_fn` maps [N, n_genes] -> [N, 1] for any leading N (critic params
+    and a row-tiled condition vector closed over). The three critic
+    evaluations of a WGAN-GP update — real score, fake score, and the
+    penalty's interpolate forward (same α law as `gradient_penalty`) — are
+    stacked into one [3B] batch with gradients taken w.r.t. the interp slice
+    only. Mathematically identical to the three separate calls (the trunk is
+    per-sample and dropout-free; grad of a summed output slice w.r.t. its
+    input slice is unaffected by the other rows), but the HBM-bound
+    [n_genes, hidden] critic input projection (19.3 MB of weights per
+    evaluation at batch 8 — BASELINE.md "thin gene-dim matmuls") is read
+    once instead of three times, forward and backward.
+
+    Used by the engine's `cond_embed_reuse="per_update"` production path
+    (`train.batched_scores`); the reference-parity per_call path keeps
+    separate evaluations (its per-call fusion dropout draws cannot batch).
+    """
+    B = real.shape[0]
+    if alpha is None:
+        alpha = jax.random.uniform(alpha_key, (B, 1), dtype=real.dtype)
+    interp = alpha * real + (1.0 - alpha) * fake
+
+    def summed_interp_score(x):
+        scores = score_fn(jnp.concatenate([real, fake, x], axis=0))
+        return jnp.sum(scores[2 * B:]), scores
+
+    grads, scores = jax.grad(summed_interp_score, has_aux=True)(interp)
+    norms = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)
+    gp = jnp.mean((norms - 1.0) ** 2)
+    return scores[:B], scores[B:2 * B], gp

@@ -131,14 +131,35 @@ class WGANGPEngine:
                          alpha=None):
             """Critic loss (+aux) on one (micro)batch — shared by the direct
             and the gradient-accumulation update paths."""
-            if reuse and cond is not None:
+            if reuse:
                 # one embedding per critic update, shared by the real
                 # score, the fake score, and the GP (exact when
                 # fusion.dropout == 0 — the three evaluations are then
                 # identical computations)
-                cvec = disc.apply(
-                    {"params": d_params}, cond, deterministic=False,
-                    rngs={"dropout": kd2}, method="embed_cond")
+                cvec = None
+                if cond is not None:
+                    cvec = disc.apply(
+                        {"params": d_params}, cond, deterministic=False,
+                        rngs={"dropout": kd2}, method="embed_cond")
+                if t.batched_scores:
+                    # real/fake/interp trunk evaluations stacked into ONE
+                    # score call: one read of the HBM-bound gene-dim critic
+                    # weights instead of three (losses.batched_scores_and_gp)
+                    def score_cat(x_cat):
+                        cv = (None if cvec is None else
+                              jnp.concatenate([cvec, cvec, cvec], axis=0))
+                        return disc.apply({"params": d_params}, x_cat, cv,
+                                          method="score")
+
+                    d_real, d_fake, gp = losses.batched_scores_and_gp(
+                        score_cat, real_a, fake_a, ka, alpha=alpha)
+                    loss, loss_r, loss_f = losses.d_loss(d_real, d_fake)
+                    total = loss + t.gp_weight * gp
+                    if t.drift_epsilon > 0:
+                        total = total + t.drift_epsilon * losses.drift_penalty(
+                            d_real, d_fake)
+                    return total, (loss, gp, jnp.mean(d_real),
+                                   jnp.mean(d_fake))
                 d_real = disc.apply({"params": d_params}, real_a, cvec,
                                     method="score")
                 d_fake = disc.apply({"params": d_params}, fake_a, cvec,

@@ -324,6 +324,74 @@ def test_cond_embed_reuse_grads_match_when_no_dropout(tiny_data, make_tiny_cfg):
         g_call, g_share)
 
 
+def test_batched_scores_matches_separate_evaluations(tiny_data, make_tiny_cfg):
+    """`train.batched_scores` (one [3B] trunk call for real/fake/interp —
+    losses.batched_scores_and_gp) is the same function as the three separate
+    per_update evaluations: identical critic loss value and parameter
+    gradients up to fp reassociation from the batched matmul."""
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.train import losses
+
+    cfg = make_tiny_cfg("film_cross_attention", fusion_kw=dict(dropout=0.0))
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    batch = next(iter(Batches(tiny_data, batch_size=8, seed=0, shuffle=False)))
+    state = eng.init_state(0, batch)
+    disc = eng.disc
+    cond = {k: jnp.asarray(batch[k]) for k in
+            ("tokens", "token_mask", "patches", "patch_mask") if k in batch}
+    real = jnp.asarray(batch["genes"])
+    fake = real[::-1]
+    ka, kd = jax.random.key(1), jax.random.key(2)
+
+    def critic_loss(p, batched):
+        cvec = disc.apply({"params": p}, cond, deterministic=False,
+                          rngs={"dropout": kd}, method="embed_cond")
+        if batched:
+            def score_cat(x_cat):
+                cv = jnp.concatenate([cvec, cvec, cvec], axis=0)
+                return disc.apply({"params": p}, x_cat, cv, method="score")
+
+            d_real, d_fake, gp = losses.batched_scores_and_gp(
+                score_cat, real, fake, ka)
+        else:
+            d_real = disc.apply({"params": p}, real, cvec, method="score")
+            d_fake = disc.apply({"params": p}, fake, cvec, method="score")
+            gp = losses.gradient_penalty(
+                lambda x: disc.apply({"params": p}, x, cvec, method="score"),
+                real, fake, ka)
+        loss, _, _ = losses.d_loss(d_real, d_fake)
+        return loss + 10.0 * gp
+
+    v_sep, g_sep = jax.value_and_grad(critic_loss)(state.d_params, False)
+    v_bat, g_bat = jax.value_and_grad(critic_loss)(state.d_params, True)
+    np.testing.assert_allclose(float(v_sep), float(v_bat), rtol=1e-6)
+    scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_sep))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6 * scale),
+        g_sep, g_bat)
+
+
+def test_batched_scores_step_trains_vanilla_and_conditional(tiny_data,
+                                                            make_tiny_cfg):
+    """The engine step with cond_embed_reuse='per_update' (batched_scores
+    default True) runs and stays finite for both a conditional variant and
+    the unconditional vanilla path (cvec=None row in the batched call)."""
+    for variant, keys in (("vanilla", ("genes",)),
+                          ("concat_text", None)):
+        cfg = make_tiny_cfg(variant,
+                            train_kw=dict(cond_embed_reuse="per_update"))
+        assert cfg.train.batched_scores
+        eng = WGANGPEngine(cfg, steps_per_epoch=2)
+        data = (tiny_data if keys is None
+                else {k: tiny_data[k] for k in keys})
+        batch = next(iter(Batches(data, batch_size=8, seed=0, shuffle=False)))
+        state = eng.init_state(0, batch)
+        state, m = eng.step(state, batch)
+        assert all(np.isfinite(float(v)) for v in m.values()), (variant, m)
+
+
 def test_cond_embed_reuse_with_dropout_trains(tiny_data, make_tiny_cfg):
     """With dropout > 0, per_update is a documented approximation (one
     dropout draw shared within an update): the step must run and stay
