@@ -130,12 +130,19 @@ class TrainConfig:
     #   fusion.dropout == 0; with dropout > 0 it shares one dropout draw
     #   across the scores inside an update (tests/test_engine.py).
     cond_embed_reuse: str = "per_call"  # per_call | per_update
-    # Batch the critic's real/fake/interp trunk evaluations into ONE score
-    # call inside each per_update critic update (losses.batched_scores_and_gp)
-    # — same math (the trunk is per-sample and dropout-free), one read of the
-    # HBM-bound [n_genes, hidden] critic weights instead of three. Only
-    # active with cond_embed_reuse="per_update"; the per_call reference path
-    # keeps separate evaluations (independent per-call dropout draws).
+    # Batch the per-sample, dropout-free trunk evaluations of the fused step
+    # to cut HBM weight re-reads (the gene-dim matmuls are HBM-bound at
+    # batch 8 — BASELINE.md "thin gene-dim matmuls"):
+    #   (a) each critic update's real/fake/interp scores become ONE [3B]
+    #       score call (losses.batched_scores_and_gp) — one read of the
+    #       [n_genes, hidden] critic weights instead of three;
+    #   (b) all n_critic fake batches come from ONE [n_critic*B] generator
+    #       forward hoisted above the critic loop (same per-update z draws,
+    #       grad_accum == 1 only) — one read of the [hidden, n_genes]
+    #       generator output weights instead of n_critic.
+    # Same math either way. Only active with cond_embed_reuse="per_update";
+    # the per_call reference path keeps separate evaluations (independent
+    # per-call dropout draws cannot batch).
     batched_scores: bool = True
     # Gradient accumulation (beyond reference): split each update's batch
     # into `grad_accum` microbatches, scan them accumulating gradients, and

@@ -194,20 +194,28 @@ class WGANGPEngine:
                     d_real, d_fake)
             return total, (loss, gp, jnp.mean(d_real), jnp.mean(d_fake))
 
-        def critic_update(state, real, cond, key, g_cvec):
+        def critic_update(state, real, cond, key, g_cvec, fake=None):
             kz, ka, kgate, kn1, kn2, kd1, kd2, kd2b, kd3 = \
                 jax.random.split(key, 9)
-            z = jax.random.normal(kz, (real.shape[0], m.latent_dim))
             gate = (jax.random.bernoulli(kgate, t.p_aug) if t.p_aug > 0
                     else jnp.zeros(()))
-            if g_cvec is not None:
-                # per_update reuse: the generator params (and cond) are
-                # constant across the n_critic critic updates, so the
-                # generator's condition embedding was computed once per step
-                fake = jax.lax.stop_gradient(gen.apply(
-                    {"params": state.g_params}, z, g_cvec, method="score"))
-            else:
-                fake = jax.lax.stop_gradient(gen_fwd(state.g_params, z, cond, kd1))
+            if fake is None:
+                # `fake` is pre-generated by the train step's hoisted
+                # batched generator forward in the per_update+batched_scores
+                # production path (same kz draw — see train_step); this
+                # per-update generation is the per_call/reference path
+                z = jax.random.normal(kz, (real.shape[0], m.latent_dim))
+                if g_cvec is not None:
+                    # per_update reuse: the generator params (and cond) are
+                    # constant across the n_critic critic updates, so the
+                    # generator's condition embedding was computed once per
+                    # step
+                    fake = jax.lax.stop_gradient(gen.apply(
+                        {"params": state.g_params}, z, g_cvec,
+                        method="score"))
+                else:
+                    fake = jax.lax.stop_gradient(
+                        gen_fwd(state.g_params, z, cond, kd1))
             fake_a = augment(fake, kn1, gate)
             real_a = augment(real, kn2, gate)
 
@@ -240,7 +248,8 @@ class WGANGPEngine:
         def _tree_add(a, b):
             return jax.tree.map(jnp.add, a, b)
 
-        def critic_update_accum(state, real, cond, key, g_cvec):
+        def critic_update_accum(state, real, cond, key, g_cvec, fake=None):
+            assert fake is None  # hoisted fakes are grad_accum==1 only
             M = t.grad_accum
             kz, ka, kgate, kn1, kn2, kd1, kd2, kd2b, kd3 = \
                 jax.random.split(key, 9)
@@ -387,23 +396,55 @@ class WGANGPEngine:
                     {"params": state.g_params}, cond, deterministic=False,
                     rngs={"dropout": keys[t.n_critic + 1]},
                     method="embed_cond"))
+            fake_stack = None
+            if reuse and t.batched_scores and t.grad_accum == 1:
+                # hoisted fake generation: g_params (and g_cvec) are constant
+                # across the n_critic critic updates and the trunk is
+                # dropout-free, so ALL n_critic fake batches come from ONE
+                # [n_critic*B] generator forward — one read of the HBM-bound
+                # [hidden, n_genes] output projection instead of n_critic.
+                # Each update's z uses the same kz = split(key_i)[0] draw the
+                # per-update path uses, so the fakes are the same values.
+                B = real.shape[0]
+
+                def z_of(k):
+                    kz = jax.random.split(k, 9)[0]
+                    return jax.random.normal(kz, (B, m.latent_dim))
+
+                zs = jax.vmap(z_of)(keys[:t.n_critic])
+                cv = (None if g_cvec is None
+                      else jnp.tile(g_cvec, (t.n_critic, 1)))
+                fake_stack = jax.lax.stop_gradient(gen.apply(
+                    {"params": state.g_params},
+                    zs.reshape(t.n_critic * B, m.latent_dim), cv,
+                    method="score")).reshape(t.n_critic, B, -1)
             if t.critic_scan and t.n_critic > 1:
                 # same body, same keys, same order as the unrolled loop —
                 # traced once and iterated by XLA, so the compiled program
                 # is ~n_critic times smaller on the critic side (config
                 # `critic_scan` docstring). `keys` is a key array; slicing
                 # it yields the scan's per-iteration xs.
-                def critic_body(st, k):
-                    return critic_up(st, real, cond, k, g_cvec)
+                if fake_stack is not None:
+                    def critic_body(st, xs):
+                        k, f = xs
+                        return critic_up(st, real, cond, k, g_cvec, f)
 
-                state, d_auxs = jax.lax.scan(
-                    critic_body, state, keys[:t.n_critic])
+                    state, d_auxs = jax.lax.scan(
+                        critic_body, state,
+                        (keys[:t.n_critic], fake_stack))
+                else:
+                    def critic_body(st, k):
+                        return critic_up(st, real, cond, k, g_cvec)
+
+                    state, d_auxs = jax.lax.scan(
+                        critic_body, state, keys[:t.n_critic])
                 d_aux = jax.tree.map(lambda a: a[-1], d_auxs)
             else:
                 d_aux = None
                 for i in range(t.n_critic):
                     state, d_aux = critic_up(
-                        state, real, cond, keys[i], g_cvec)
+                        state, real, cond, keys[i], g_cvec,
+                        None if fake_stack is None else fake_stack[i])
             state, gl = gen_up(state, real, cond, keys[t.n_critic])
             if state.g_ema is not None:
                 d = t.ema_decay

@@ -392,6 +392,31 @@ def test_batched_scores_step_trains_vanilla_and_conditional(tiny_data,
         assert all(np.isfinite(float(v)) for v in m.values()), (variant, m)
 
 
+def test_batched_scores_knob_first_update_metrics_match(tiny_data,
+                                                        make_tiny_cfg):
+    """With n_critic=1 the first critic update's loss terms are pure
+    functions of the initial params, so the batched (hoisted fakes + [3B]
+    scores) and unbatched per_update paths must agree tightly — no RMSprop
+    reassociation amplification in between. Pins that the hoisted generator
+    forward draws the SAME z (kz = split(key_i)[0]) as the per-update path."""
+    metrics = {}
+    for batched in (False, True):
+        cfg = make_tiny_cfg("film", fusion_kw=dict(dropout=0.0),
+                            train_kw=dict(cond_embed_reuse="per_update",
+                                          n_critic=1,
+                                          batched_scores=batched))
+        eng = WGANGPEngine(cfg, steps_per_epoch=2)
+        batch = next(iter(Batches(tiny_data, batch_size=8, seed=0,
+                                  shuffle=False)))
+        state = eng.init_state(0, batch)
+        _, m = eng.step(state, batch)
+        metrics[batched] = m
+    for k in ("d_loss", "gp", "d_real", "d_fake"):
+        np.testing.assert_allclose(float(metrics[False][k]),
+                                   float(metrics[True][k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_cond_embed_reuse_with_dropout_trains(tiny_data, make_tiny_cfg):
     """With dropout > 0, per_update is a documented approximation (one
     dropout draw shared within an update): the step must run and stay
