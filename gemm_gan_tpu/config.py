@@ -144,6 +144,12 @@ class TrainConfig:
     # the per_call reference path keeps separate evaluations (independent
     # per-call dropout draws cannot batch).
     batched_scores: bool = True
+    # Sub-knob of (b): measured A/B on-chip showed the hoisted generator
+    # forward does NOT pay for itself at canonical shapes (the [n_critic, B,
+    # n_genes] fake stack becomes lax.scan xs whose per-iteration slice
+    # DMAs cost more than the saved weight re-reads), so it defaults OFF;
+    # kept for wider-batch configs where the weight read dominates.
+    hoist_fakes: bool = False
     # Gradient accumulation (beyond reference): split each update's batch
     # into `grad_accum` microbatches, scan them accumulating gradients, and
     # apply ONE optimizer update on the mean — activation/GP memory scales

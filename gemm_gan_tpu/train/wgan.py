@@ -397,7 +397,8 @@ class WGANGPEngine:
                     rngs={"dropout": keys[t.n_critic + 1]},
                     method="embed_cond"))
             fake_stack = None
-            if reuse and t.batched_scores and t.grad_accum == 1:
+            if (reuse and t.batched_scores and t.hoist_fakes
+                    and t.grad_accum == 1):
                 # hoisted fake generation: g_params (and g_cvec) are constant
                 # across the n_critic critic updates and the trunk is
                 # dropout-free, so ALL n_critic fake batches come from ONE

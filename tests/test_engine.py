@@ -381,7 +381,8 @@ def test_batched_scores_step_trains_vanilla_and_conditional(tiny_data,
     for variant, keys in (("vanilla", ("genes",)),
                           ("concat_text", None)):
         cfg = make_tiny_cfg(variant,
-                            train_kw=dict(cond_embed_reuse="per_update"))
+                            train_kw=dict(cond_embed_reuse="per_update",
+                                          hoist_fakes=True))
         assert cfg.train.batched_scores
         eng = WGANGPEngine(cfg, steps_per_epoch=2)
         data = (tiny_data if keys is None
@@ -404,7 +405,8 @@ def test_batched_scores_knob_first_update_metrics_match(tiny_data,
         cfg = make_tiny_cfg("film", fusion_kw=dict(dropout=0.0),
                             train_kw=dict(cond_embed_reuse="per_update",
                                           n_critic=1,
-                                          batched_scores=batched))
+                                          batched_scores=batched,
+                                          hoist_fakes=batched))
         eng = WGANGPEngine(cfg, steps_per_epoch=2)
         batch = next(iter(Batches(tiny_data, batch_size=8, seed=0,
                                   shuffle=False)))
