@@ -7,12 +7,18 @@ weak #3). This is the CPU-sized port of the on-chip dynamics validation
 the same `structured_dataset` regime (low-rank gene-gene correlation +
 label-dependent class means, TCGA-like case:step ratio — small-data
 long-horizon runs drift by reference-faithful design, CLAUDE.md "Training
-dynamics"), sized so the vanilla WGAN-GP measurably fools the reference's
-own detection suite within ~2 minutes on the virtual CPU mesh.
+dynamics") at two sizes:
 
-Calibrated 2026-08-19 (seed 7/0/123): epoch 0 -> LR/MLP/RF detection all
-1.000, gamma ~0.0; epoch 60 -> LR 0.758, RF 0.660, gamma 0.951, |d_loss|
-< 1. Thresholds below leave wide margins.
+  * a DEFAULT-PATH gate (~30 s warm): n_tr=1024, 40 epochs — runs in every
+    `-m "not slow"` suite, so the statistical promise is CI-enforced, not a
+    ritual (VERDICT r2 weak #2/next #4). Calibrated 2026-08-20 (seed
+    7/0/123): epoch 0 -> LR/MLP/RF detection all 1.000, Γ=0.032; epoch 40 ->
+    LR 0.891, RF 0.748, Γ=0.917, d_loss=-1.56. Thresholds leave wide
+    margins. MLP barely moves at this budget (0.984) and is asserted
+    finite-only here — the slow gate covers it.
+  * the STRICT slow gate: n_tr=2048, 60 epochs. Calibrated 2026-08-19
+    (same seeds): epoch 0 -> all 1.000, Γ~0.0; epoch 60 -> LR 0.758,
+    RF 0.660, Γ=0.951, |d_loss| < 1.
 """
 
 import dataclasses
@@ -29,9 +35,10 @@ from gemm_gan_tpu.eval.gamma import gamma_coef_np
 from gemm_gan_tpu.train.wgan import WGANGPEngine
 
 
-@pytest.mark.slow
-def test_training_fools_detection_and_learns_correlation_structure():
-    n_tr, n_te, n_genes = 2048, 256, 64
+def _run_regime(n_tr: int, epochs: int, n_te: int = 256, n_genes: int = 64):
+    """Train vanilla WGAN-GP on the structured-synthetic regime; return
+    (det0, gamma0, det1, gamma1, d_loss) — detection accuracies and Γ
+    before and after training, and the final critic loss."""
     data = structured_dataset(n_tr + n_te, n_genes=n_genes, rank=8,
                               n_classes=4, num_patches=4, patch_dim=8,
                               num_tokens=4, text_dim=8, seed=7)
@@ -57,26 +64,43 @@ def test_training_fools_detection_and_learns_correlation_structure():
                                           gen_te.epoch(0))
         det = detection(out_tr["real"], out_tr["fake"],
                         out_te["real"], out_te["fake"])
-        g = gamma_coef_np(out_te["real"], out_te["fake"])
+        g = float(gamma_coef_np(out_te["real"], out_te["fake"]))
         return {k2: v["accuracy"] for k2, v in det.items()}, g
 
     det0, gamma0 = measure(state, 0)
+    last = None
+    for e in range(epochs):
+        state, last = eng.step_many(state, loader.stacked_epoch(e))
+    d_loss = float(jax.device_get(last["d_loss"]))
+    det1, gamma1 = measure(state, epochs + 1)
+    return det0, gamma0, det1, gamma1, d_loss
+
+
+def test_training_fools_detection_fast_gate():
+    """Default-path statistical gate (runs in `-m "not slow"`)."""
+    det0, gamma0, det1, gamma1, d_loss = _run_regime(n_tr=1024, epochs=40)
     # untrained generator is trivially detectable, has no gene-gene structure
     assert det0["LR"] > 0.95 and det0["RF"] > 0.95, det0
     assert abs(gamma0) < 0.3, gamma0
-
-    last = None
-    for e in range(60):
-        state, last = eng.step_many(state, loader.stacked_epoch(e))
-    d_loss = float(jax.device_get(last["d_loss"]))
     assert np.isfinite(d_loss) and abs(d_loss) < 50, d_loss  # no runaway
+    # detection trends toward chance (calibrated 0.891 / 0.748)
+    assert det1["LR"] <= det0["LR"] - 0.03 and det1["LR"] < 0.95, (det0, det1)
+    assert det1["RF"] <= det0["RF"] - 0.1 and det1["RF"] < 0.85, (det0, det1)
+    assert np.isfinite(det1["MLP"])  # moves only at the slow gate's budget
+    # the generator learned the low-rank gene-gene correlation structure
+    assert gamma1 > 0.6 and gamma1 > gamma0 + 0.4, (gamma0, gamma1)
 
-    det1, gamma1 = measure(state, 61)
-    # detection trends toward chance: every classifier drops, LR and RF
-    # clear absolute bars (calibrated 0.758 / 0.660)
+
+@pytest.mark.slow
+def test_training_fools_detection_and_learns_correlation_structure():
+    """Strict gate at the original calibration budget (2048 cases, 60 ep)."""
+    det0, gamma0, det1, gamma1, d_loss = _run_regime(n_tr=2048, epochs=60)
+    assert det0["LR"] > 0.95 and det0["RF"] > 0.95, det0
+    assert abs(gamma0) < 0.3, gamma0
+    assert np.isfinite(d_loss) and abs(d_loss) < 50, d_loss
+    # every classifier drops, LR and RF clear absolute bars (0.758 / 0.660)
     assert det1["LR"] <= det0["LR"] - 0.1, (det0, det1)
     assert det1["RF"] <= det0["RF"] - 0.1, (det0, det1)
     assert det1["LR"] < 0.92 and det1["RF"] < 0.88, det1
-    # the generator learned the low-rank gene-gene correlation structure
     assert gamma1 > 0.8, gamma1
     assert gamma1 > gamma0 + 0.5, (gamma0, gamma1)

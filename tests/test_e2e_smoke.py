@@ -46,8 +46,9 @@ def test_training_improves_gamma_and_detection():
     assert gamma_after > 0.5  # gene-gene structure is being learned
 
     # detection harness runs end-to-end on the trained samples (absolute
-    # accuracy stays ~1.0 at this toy scale — chance-level detection needs
-    # full-scale training; gamma above is the learning signal here)
+    # accuracy stays ~1.0 at this toy scale — the statistical detection-falls
+    # gate is tests/test_dynamics_acceptance.py::
+    # test_training_fools_detection_fast_gate, on the default path)
     fake_train = np.asarray(eng.generate_samples(
         state, jax.random.key(10), {"genes": train["genes"][:160]}))
     det = detection(train["genes"], fake_train, test["genes"], fake)
