@@ -239,8 +239,12 @@ def main():
     # from 287 s to 163 s, scripts/probe_scan_overhead.py 2026-08-19) and
     # sidesteps the tunnel's transient remote-compile failures on re-runs.
     from gemm_gan_tpu.utils.compile_cache import enable_compile_cache
+    from gemm_gan_tpu.utils.stderr_filter import install_stderr_aot_filter
 
     enable_compile_cache()
+    # same-host CPU-AOT cache reloads log a false-positive mismatch error
+    # (utils/stderr_filter.py); keep the driver-captured tail clean
+    install_stderr_aot_filter()
 
     if not wait_for_backend():
         print("bench: accelerator backend unavailable (tunnel down?); "

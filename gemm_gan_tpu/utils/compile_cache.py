@@ -11,11 +11,21 @@ concurrent multi-process use (atomic renames).
 
 Machine safety (VERDICT r2 weak #1): XLA:CPU persistent-cache entries embed
 an AOT compilation result specialized to the *writer's* CPU feature set;
-loading one on a host with different features logs `cpu_aot_loader.cc`
-mismatch warnings and can SIGILL. The cache dir is therefore suffixed with a
-fingerprint of the host ISA + CPU feature flags, so a cache written on one
-box is never served to a differently-featured box — each machine type gets
-its own subdirectory and cold-compiles at most once.
+loading one on a host with genuinely different features can SIGILL. The
+cache dir is therefore suffixed with a fingerprint of the host ISA + CPU
+feature flags, so a cache written on one box is never served to a
+differently-featured box — each machine type gets its own subdirectory and
+cold-compiles at most once.
+
+Note on the `cpu_aot_loader.cc:210` mismatch errors: these are ALSO logged
+for entries written by the very same host, because the XLA:CPU compiler
+adds `+prefer-no-gather,+prefer-no-scatter` tuning pseudo-features to the
+stored target that the load-time host probe never reports (measured
+2026-08-20: fresh same-host write->reload reproduces it; the entry is still
+used, reload compile 0.39 s -> 0.02 s). Those two lines are a false
+positive — filtered at driver-facing entry points by
+`utils/stderr_filter.py`; any OTHER feature named in the message is a real
+cross-box mismatch and passes through.
 """
 
 from __future__ import annotations
