@@ -49,6 +49,11 @@ def main():
                     help="force the CPU backend (the container pins "
                          "JAX_PLATFORMS=axon via sitecustomize, so an env "
                          "prefix does NOT stick — CLAUDE.md)")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help=">0 tracks an EMA generator (train.ema_decay) and "
+                         "evaluates with it — holds sample quality through "
+                         "the long-horizon drift the raw generator shows "
+                         "(CLAUDE.md training dynamics)")
     ap.add_argument("--critic-scan", action="store_true",
                     help="train.critic_scan=True: lax.scan the critic loop "
                          "(same numerics, ~2.5x faster remote compile)")
@@ -91,7 +96,7 @@ def main():
                          fusion_kw=fusion_kw)
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(
         cfg.train, cond_embed_reuse="per_update", drift_epsilon=1e-3,
-        critic_scan=args.critic_scan))
+        critic_scan=args.critic_scan, ema_decay=args.ema))
     cache = DeviceCache(train, batch_size=cfg.train.batch_size, seed=0)
     test_cache = DeviceCache(test, batch_size=64, seed=0, shuffle=False,
                              drop_remainder=False)
