@@ -147,8 +147,11 @@ class TrainConfig:
     # Sub-knob of (b): measured A/B on-chip showed the hoisted generator
     # forward does NOT pay for itself at canonical shapes (the [n_critic, B,
     # n_genes] fake stack becomes lax.scan xs whose per-iteration slice
-    # DMAs cost more than the saved weight re-reads), so it defaults OFF;
-    # kept for wider-batch configs where the weight read dominates.
+    # DMAs cost more than the saved weight re-reads), so it defaults OFF.
+    # Re-measured at batch 64 (scripts/probe_hoist_wide.py, 2026-08-20):
+    # exactly neutral there too (23.88 vs 23.91 steps/s) — at wide batch the
+    # weight re-read is amortized over more rows, so there is nothing left
+    # to save. Kept only as an A/B knob; no config is known where it wins.
     hoist_fakes: bool = False
     # Gradient accumulation (beyond reference): split each update's batch
     # into `grad_accum` microbatches, scan them accumulating gradients, and

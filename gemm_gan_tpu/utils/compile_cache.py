@@ -76,6 +76,11 @@ def enable_compile_cache(cache_dir: str | None = None,
     import jax
 
     if cache_dir is None:
+        # env override: lets a cold-compile measurement (or a CI box with
+        # its own cache volume) redirect every entry point at once without
+        # touching the default warm cache
+        cache_dir = os.environ.get("GEMM_GAN_COMPILE_CACHE_DIR")
+    if cache_dir is None:
         cache_dir = os.path.join(_REPO_ROOT, ".cache", "jax_compile",
                                  machine_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)

@@ -49,6 +49,13 @@ def main():
                     help="force the CPU backend (the container pins "
                          "JAX_PLATFORMS=axon via sitecustomize, so an env "
                          "prefix does NOT stick — CLAUDE.md)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model.compute_dtype: bfloat16 runs dense "
+                         "projections at the bf16 MXU rate (critic head/GP "
+                         "stay f32 — models/gan.py); this script is the "
+                         "quality gate for flipping it on (CLAUDE.md warns "
+                         "of WGAN critic-stability risk)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help=">0 tracks an EMA generator (train.ema_decay) and "
                          "evaluates with it — holds sample quality through "
@@ -94,9 +101,12 @@ def main():
                          cond_dim=64, ff_dim=128)
     cfg = variant_config("film_cross_attention", n_genes=args.genes,
                          fusion_kw=fusion_kw)
-    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-        cfg.train, cond_embed_reuse="per_update", drift_epsilon=1e-3,
-        critic_scan=args.critic_scan, ema_decay=args.ema))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, compute_dtype=args.dtype),
+        train=dataclasses.replace(
+            cfg.train, cond_embed_reuse="per_update", drift_epsilon=1e-3,
+            critic_scan=args.critic_scan, ema_decay=args.ema))
     cache = DeviceCache(train, batch_size=cfg.train.batch_size, seed=0)
     test_cache = DeviceCache(test, batch_size=64, seed=0, shuffle=False,
                              drop_remainder=False)

@@ -81,5 +81,13 @@ def test_compile_cache_dir_is_machine_fingerprinted(tmp_path, monkeypatch):
     # explicit dir still wins (tests/workers that pin a shared dir)
     explicit = str(tmp_path / "cc")
     assert cc.enable_compile_cache(explicit) == explicit
+    # env override redirects every entry point at once (cold-compile
+    # measurements, CI cache volumes) without touching the default dir
+    env_dir = str(tmp_path / "env_cc")
+    monkeypatch.setenv("GEMM_GAN_COMPILE_CACHE_DIR", env_dir)
+    assert cc.enable_compile_cache() == env_dir and os.path.isdir(env_dir)
+    # an explicit dir beats the env var
+    assert cc.enable_compile_cache(explicit) == explicit
+    monkeypatch.delenv("GEMM_GAN_COMPILE_CACHE_DIR")
     # restore the suite's shared cache for subsequent tests
     cc.enable_compile_cache()
