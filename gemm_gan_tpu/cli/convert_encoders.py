@@ -52,11 +52,28 @@ def find_checkpoint(spec: str) -> str:
         return spec
     roots = [spec] if os.path.isdir(spec) else []
     if "/" in spec and not roots:  # hub id -> HF cache layout
-        hub = os.path.join(
+        repo = os.path.join(
             os.environ.get("HF_HOME",
                            os.path.expanduser("~/.cache/huggingface")),
-            "hub", "models--" + spec.replace("/", "--"), "snapshots")
-        roots = sorted(glob.glob(os.path.join(hub, "*")), reverse=True)
+            "hub", "models--" + spec.replace("/", "--"))
+        snaps = sorted(glob.glob(os.path.join(repo, "snapshots", "*")))
+        # The snapshot refs/main points to is the current revision; a bare
+        # lexicographic sort of commit hashes says nothing about recency
+        # and could silently convert a STALE checkpoint when the cache
+        # holds several revisions.
+        try:
+            with open(os.path.join(repo, "refs", "main")) as f:
+                rev = f.read().strip()
+            current = os.path.join(repo, "snapshots", rev)
+            if os.path.isdir(current):
+                snaps = [current] + [s for s in snaps if s != current]
+        except OSError:
+            if len(snaps) > 1:
+                print(f"warning: {spec}: {len(snaps)} cached snapshots and "
+                      f"no refs/main — picking {snaps[-1]} (newest mtime "
+                      f"wins); pass an explicit path to be sure", flush=True)
+                snaps.sort(key=os.path.getmtime, reverse=True)
+        roots = snaps
     for root in roots:
         for name in _CANDIDATES:
             path = os.path.join(root, name)
@@ -70,16 +87,34 @@ def find_checkpoint(spec: str) -> str:
 
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch/safetensors checkpoint as a name->numpy dict."""
-    if path.endswith(".safetensors"):
-        from safetensors.numpy import load_file
+    """Load a torch/safetensors checkpoint as a name->numpy dict.
 
-        return dict(load_file(path))
+    bf16 checkpoints (common for re-uploaded encoder weights) are upcast to
+    float32 here: numpy has no bfloat16, so both `torch.Tensor.numpy()` and
+    the safetensors numpy loader reject them outright — and the converters
+    cast to f32 anyway (`_t`), so the upcast is lossless for our purpose.
+    """
+
+    def to_numpy(v) -> np.ndarray:
+        import torch
+
+        return (v.float() if v.dtype == torch.bfloat16 else v).numpy()
+
+    if path.endswith(".safetensors"):
+        try:
+            from safetensors.numpy import load_file
+
+            return dict(load_file(path))
+        except Exception:
+            # numpy loader cannot represent bf16 tensors — reload via torch
+            from safetensors.torch import load_file as load_torch
+
+            return {k: to_numpy(v) for k, v in load_torch(path).items()}
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
-    return {k: v.numpy() for k, v in sd.items()}
+    return {k: to_numpy(v) for k, v in sd.items()}
 
 
 def _save(params: Dict, out_path: str, meta: Dict) -> Dict:

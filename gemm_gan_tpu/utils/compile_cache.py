@@ -58,7 +58,12 @@ def machine_fingerprint() -> str:
                     parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
                     break
     except OSError:
-        pass  # non-Linux: fall back to ISA-only fingerprint
+        # No feature probe (non-Linux / masked procfs): an ISA-only
+        # fingerprint would let two differently-featured same-ISA boxes
+        # share AOT entries — the exact SIGILL hazard this exists to
+        # prevent. Refuse cross-box sharing instead: salt with the host
+        # identity so each unprobeable machine gets a private dir.
+        parts += [platform.system(), platform.processor(), platform.node()]
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 

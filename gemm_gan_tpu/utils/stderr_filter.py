@@ -70,8 +70,27 @@ def install_stderr_aot_filter() -> None:
     os.dup2(write_fd, 2)
     os.close(write_fd)
 
+    def _forward(data: bytes) -> bool:
+        """Write all of `data` to the original stderr; False once it breaks.
+
+        `os.write` may write partially (loop) or fail outright (EPIPE when
+        the consumer of our stderr goes away). On failure the pump MUST keep
+        reading `read_fd` and discard — if the thread died instead, the
+        64 KB pipe over fd 2 would fill and every subsequent stderr write in
+        the process (XLA logs, tracebacks) would block forever, turning a
+        broken log consumer into a hung chip run.
+        """
+        while data:
+            try:
+                n = os.write(orig_fd, data)
+            except OSError:
+                return False
+            data = data[n:]
+        return True
+
     def _pump():
         buf = b""
+        sink_broken = False
         while True:
             try:
                 chunk = os.read(read_fd, 65536)
@@ -82,10 +101,10 @@ def install_stderr_aot_filter() -> None:
             buf += chunk
             *lines, buf = buf.split(b"\n")
             for ln in lines:
-                if not is_benign_aot_line(ln):
-                    os.write(orig_fd, ln + b"\n")
-        if buf and not is_benign_aot_line(buf):
-            os.write(orig_fd, buf)
+                if not sink_broken and not is_benign_aot_line(ln):
+                    sink_broken = not _forward(ln + b"\n")
+        if buf and not sink_broken and not is_benign_aot_line(buf):
+            _forward(buf)
         os.close(read_fd)
 
     t = threading.Thread(target=_pump, name="stderr-aot-filter", daemon=True)

@@ -76,8 +76,13 @@ def test_compile_cache_dir_is_machine_fingerprinted(tmp_path, monkeypatch):
     assert fp == cc.machine_fingerprint(), "fingerprint must be stable"
     assert len(fp) == 12 and all(c in "0123456789abcdef" for c in fp)
 
-    # the suite itself may run under the env override (cold-compile
-    # measurements do exactly that) — isolate before asserting defaults
+    # the suite's active cache dir (whatever conftest resolved — possibly
+    # via the env override, e.g. a cold-compile measurement) must survive
+    # this test; capture it BEFORE mutating so the restore below does not
+    # silently re-point later tests at the default warm cache
+    suite_dir = jax.config.jax_compilation_cache_dir
+
+    # isolate before asserting defaults
     monkeypatch.delenv("GEMM_GAN_COMPILE_CACHE_DIR", raising=False)
     d = cc.enable_compile_cache()
     assert os.path.basename(d) == fp and os.path.isdir(d)
@@ -92,5 +97,6 @@ def test_compile_cache_dir_is_machine_fingerprinted(tmp_path, monkeypatch):
     # an explicit dir beats the env var
     assert cc.enable_compile_cache(explicit) == explicit
     monkeypatch.delenv("GEMM_GAN_COMPILE_CACHE_DIR")
-    # restore the suite's shared cache for subsequent tests
-    cc.enable_compile_cache()
+    # restore the suite's shared cache for subsequent tests (explicit dir:
+    # env-independent, exactly what conftest had configured)
+    assert cc.enable_compile_cache(suite_dir) == suite_dir
