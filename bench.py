@@ -256,7 +256,15 @@ def main():
     # loop-invariant across the fused step, so ~22 fusion evaluations
     # collapse to ~8. Reference-parity per_call measures ~56.3 steps/s
     # on the same chip with the same tuned flash blocks (BASELINE.md).
-    ours = jax_steps_per_sec(reuse=True)
+    # compute_dtype="bfloat16": dense projections on the bf16 MXU rate
+    # (critic head / GP / flash softmax stay f32 by design). Quality-gated
+    # at the canonical 18,868-gene width before becoming the bench config:
+    # the EMA training-dynamics run clears every gate with metrics
+    # indistinguishable from f32 (Γ 0.925 vs 0.92, precision 0.98,
+    # coverage 1.00 — BASELINE.md "bf16 quality gate", 2026-08-20).
+    # Measured f32 on the same program: 148.3 steps/s (bf16 is +12%).
+    # The library default stays float32 (reference-parity numerics).
+    ours = jax_steps_per_sec(reuse=True, dtype="bfloat16")
     print(json.dumps({
         "metric": "wgan_gp_flagship_steps_per_sec",
         "value": round(ours, 4),
@@ -264,6 +272,7 @@ def main():
         "vs_baseline": round(ours / base, 2),
         "baseline_steps_per_sec": round(base, 5),
         "baseline_spread": round(base_spread, 3),
+        "compute_dtype": "bfloat16",
     }))
 
 
