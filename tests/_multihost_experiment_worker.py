@@ -44,7 +44,13 @@ def main():
     port, pid, nproc, out_dir = sys.argv[1:5]
     pid, nproc = int(pid), int(nproc)
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # match the parent suite's backend opt level (conftest.py): the parent
+    # compares these workers' results bitwise against in-suite runs, and the
+    # LLVM level must agree for instruction-selection-identical code
+    _opt = os.environ.get("GEMM_GAN_TEST_XLA_OPT", "0")
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2"
+                               + ("" if _opt == "-1" else
+                                  f" --xla_backend_optimization_level={_opt}"))
 
     tests_dir = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, os.path.dirname(tests_dir))

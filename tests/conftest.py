@@ -12,7 +12,20 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The cold suite's wall-clock is dominated by single-threaded XLA:CPU
+# compiles of many DISTINCT fused-step programs (CLAUDE.md: ~29 min cold on
+# 1 vCPU). LLVM -O0 cuts compile+first-call ~40% (measured 21.4 -> 13.0 s
+# on the tiny flagship step) for a ~1.7x slower execution of ~ms-scale test
+# programs — a large net win for tests only. Not fast-math: float semantics
+# are unchanged, and every suite process (incl. the multihost subprocess
+# workers, which must match the in-suite single-process runs bitwise) uses
+# the same level. Override with GEMM_GAN_TEST_XLA_OPT=<level> or -1 to
+# leave XLA's default.
+_opt = os.environ.get("GEMM_GAN_TEST_XLA_OPT", "0")
+if _opt != "-1" and "xla_backend_optimization_level" not in flags:
+    flags = (flags + f" --xla_backend_optimization_level={_opt}").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

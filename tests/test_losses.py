@@ -119,8 +119,11 @@ def test_drift_penalty_value_and_wiring():
 
     def scale_after(eps):
         cfg = gg.variant_config("vanilla", n_genes=24)
+        # n_critic=2 + critic_scan purely for compile time (conftest trim
+        # rationale); the drift-anchor direction holds at any critic count
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, drift_epsilon=eps))
+            cfg, train=dataclasses.replace(cfg.train, drift_epsilon=eps,
+                                           n_critic=2, critic_scan=True))
         eng = WGANGPEngine(cfg, steps_per_epoch=2)
         s = eng.init_state(0, batch)
         m = None
