@@ -69,7 +69,7 @@ def analytic_gene_dim_flops(n_genes: int, hidden: int, batch: int,
     return n_critic * per_critic + per_gen
 
 
-def build_step(tiny: bool):
+def build_step(tiny: bool, dtype: str = "float32"):
     import dataclasses
 
     from _flagship import dims_and_fusion_kw
@@ -82,8 +82,10 @@ def build_step(tiny: bool):
     fusion_kw = dict(fusion_kw, use_pallas=False)  # countable attention
     cfg = variant_config("film_cross_attention", n_genes=dims["n_genes"],
                          fusion_kw=fusion_kw)
-    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-        cfg.train, cond_embed_reuse="per_update"))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, compute_dtype=dtype),
+        train=dataclasses.replace(cfg.train, cond_embed_reuse="per_update"))
     data = synthetic_dataset(
         n=16, n_genes=dims["n_genes"], n_classes=3, n_sites=2,
         num_patches=dims["n_patches"], patch_dim=dims["patch_dim"],
@@ -93,11 +95,11 @@ def build_step(tiny: bool):
     return eng, cfg, batch
 
 
-def xla_step_flops(tiny: bool) -> float:
+def xla_step_flops(tiny: bool, dtype: str = "float32") -> float:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    eng, cfg, batch = build_step(tiny)
+    eng, cfg, batch = build_step(tiny, dtype=dtype)
     state = eng.init_state(0, batch)
     step = jax.jit(eng._build_train_step(), donate_argnums=(0,))
     compiled = step.lower(state, batch).compile()
@@ -122,9 +124,14 @@ def main():
                     help="how many steps the trace window covered")
     ap.add_argument("--busy-ms-per-step", type=float, default=None)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model.compute_dtype of the counted program (the "
+                         "FLOP count barely moves; the achieved-TFLOP/s and "
+                         "MFU lines are what shift under bf16)")
     args = ap.parse_args()
 
-    flops, cfg = xla_step_flops(args.tiny)
+    flops, cfg = xla_step_flops(args.tiny, dtype=args.dtype)
     analytic = analytic_gene_dim_flops(
         cfg.model.n_genes, cfg.model.gen_dims[-1], cfg.train.batch_size,
         cfg.train.n_critic)

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_engine(tiny: bool, layout: str = None):
+def build_engine(tiny: bool, layout: str = None, dtype: str = "float32"):
     import jax
 
     from gemm_gan_tpu.config import variant_config
@@ -41,8 +41,10 @@ def build_engine(tiny: bool, layout: str = None):
         dims["n_tokens"], dims["text_dim"])
     cfg = variant_config("film_cross_attention", n_genes=n_genes,
                          fusion_kw=fusion_kw)
-    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-        cfg.train, cond_embed_reuse="per_update"))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, compute_dtype=dtype),
+        train=dataclasses.replace(cfg.train, cond_embed_reuse="per_update"))
     data = synthetic_dataset(n=16, n_genes=n_genes, n_classes=3, n_sites=2,
                              num_patches=n_patches, patch_dim=patch_dim,
                              num_tokens=n_tokens, text_dim=text_dim, seed=0)
@@ -67,13 +69,17 @@ def main():
     ap.add_argument("--layout", default=None, choices=["ble", "bhld"],
                     help="override FusionConfig.flash_layout (A/B the "
                          "E-layout kernel vs the classic transposed path)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model.compute_dtype (profile the validated bf16 "
+                         "production preset vs the f32 parity default)")
     ap.add_argument("--out", default="/tmp/gemm_gan_profile")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    eng, batch = build_engine(args.tiny, layout=args.layout)
+    eng, batch = build_engine(args.tiny, layout=args.layout, dtype=args.dtype)
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
     dev_batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}

@@ -478,3 +478,35 @@ def test_ema_off_by_default(tiny_data, make_tiny_cfg):
     assert state.g_ema is None
     with pytest.raises(ValueError, match="use_ema"):
         eng.generate_samples(state, jax.random.key(0), batch, use_ema=True)
+
+
+def test_bf16_production_preset_trains_and_keeps_f32_params(
+        tiny_data, make_tiny_cfg):
+    """The validated production preset (`compute_dtype="bfloat16"`, quality-
+    gated at the canonical 18,868-gene width — BASELINE.md "bf16 quality
+    gate"): the flagship engine must train with finite moving metrics, keep
+    PARAMS in f32 (only compute casts to bf16 — config.py ModelConfig), and
+    emit f32 samples."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = make_tiny_cfg("film_cross_attention",
+                        train_kw=dict(cond_embed_reuse="per_update"))
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16"))
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    loader = Batches(tiny_data, batch_size=8, seed=0)
+    batch = next(iter(loader))
+    state = eng.init_state(0, batch)
+    losses = []
+    for _ in range(3):
+        state, m = eng.step(state, batch)
+        assert all(np.isfinite(float(v)) for v in m.values())
+        losses.append(float(m["d_loss"]))
+    assert len(set(losses)) > 1, f"metrics frozen: {losses}"
+    for leaf in jax.tree_util.tree_leaves((state.g_params, state.d_params)):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    fake = np.asarray(eng.generate_samples(state, jax.random.key(0), batch))
+    assert fake.dtype == np.float32 and fake.shape == (8, 24)
+    assert np.isfinite(fake).all()
