@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--lens", default="100,200,300")
     ap.add_argument("--n-calls", type=int, default=4)
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="model.compute_dtype — defaults to bfloat16, the "
+                         "bench production program this probe exists to "
+                         "characterize (bench.py); float32 probes the "
+                         "parity path")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +51,7 @@ def main():
     for L in [int(x) for x in args.lens.split(",")]:
         t0 = time.monotonic()
         sps = bench.jax_steps_per_sec(scan_len=L, n_calls=args.n_calls,
-                                      reuse=True)
+                                      reuse=True, dtype=args.dtype)
         total = time.monotonic() - t0
         print(f"scan_len={L}: {sps:.2f} steps/s "
               f"({1000.0 / sps:.3f} ms/step wall; call total {total:.1f}s "

@@ -44,13 +44,17 @@ def main():
     port, pid, nproc, out_dir = sys.argv[1:5]
     pid, nproc = int(pid), int(nproc)
     os.environ["JAX_PLATFORMS"] = "cpu"
-    # match the parent suite's backend opt level (conftest.py): the parent
-    # compares these workers' results bitwise against in-suite runs, and the
-    # LLVM level must agree for instruction-selection-identical code
-    _opt = os.environ.get("GEMM_GAN_TEST_XLA_OPT", "0")
-    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2"
-                               + ("" if _opt == "-1" else
-                                  f" --xla_backend_optimization_level={_opt}"))
+    # same flag policy as the parent suite (tests/_xla_test_flags.py): the
+    # parent compares these workers' results bitwise against in-suite runs,
+    # and the LLVM opt level must agree for instruction-identical code. An
+    # explicit --xla_backend_optimization_level inherited via XLA_FLAGS wins
+    # there and here alike; the device count is rebuilt for 2 virtual devices.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _xla_test_flags import build_xla_flags
+
+    inherited_opt = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                     if "xla_backend_optimization_level" in f]
+    os.environ["XLA_FLAGS"] = build_xla_flags(2, base=" ".join(inherited_opt))
 
     tests_dir = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, os.path.dirname(tests_dir))

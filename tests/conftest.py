@@ -10,22 +10,20 @@ import os
 # its own backend and a sitecustomize hook registers it at interpreter start;
 # tests must run on the virtual 8-CPU mesh regardless.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# The cold suite's wall-clock is dominated by single-threaded XLA:CPU
-# compiles of many DISTINCT fused-step programs (CLAUDE.md: ~29 min cold on
-# 1 vCPU). LLVM -O0 cuts compile+first-call ~40% (measured 21.4 -> 13.0 s
-# on the tiny flagship step) for a ~1.7x slower execution of ~ms-scale test
-# programs — a large net win for tests only. Not fast-math: float semantics
-# are unchanged, and every suite process (incl. the multihost subprocess
-# workers, which must match the in-suite single-process runs bitwise) uses
-# the same level. Override with GEMM_GAN_TEST_XLA_OPT=<level> or -1 to
-# leave XLA's default.
-_opt = os.environ.get("GEMM_GAN_TEST_XLA_OPT", "0")
-if _opt != "-1" and "xla_backend_optimization_level" not in flags:
-    flags = (flags + f" --xla_backend_optimization_level={_opt}").strip()
-os.environ["XLA_FLAGS"] = flags
+# Virtual 8-device mesh + the suite's LLVM backend opt level. The cold
+# suite's wall-clock is dominated by single-threaded XLA:CPU compiles of
+# many DISTINCT fused-step programs (CLAUDE.md: 29m02 -> 19m21 cold on
+# 1 vCPU from -O0 alone: compile+first-call ~40% faster, execution of the
+# ~ms-scale test programs ~1.7x slower — net win for the default suite;
+# the execution-heavy `-m slow` statistical gates pay more execution, a
+# documented trade on the non-default path). Not fast-math: float
+# semantics are unchanged. ONE policy shared with the multihost subprocess
+# workers (tests/_xla_test_flags.py) — they must compile at the SAME level
+# as the in-suite runs they are compared against bitwise. Override with
+# GEMM_GAN_TEST_XLA_OPT=<level> / -1, or pin the flag in XLA_FLAGS.
+from _xla_test_flags import build_xla_flags  # noqa: E402
+
+os.environ["XLA_FLAGS"] = build_xla_flags(8)
 
 import jax  # noqa: E402
 

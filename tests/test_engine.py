@@ -491,8 +491,13 @@ def test_bf16_production_preset_trains_and_keeps_f32_params(
 
     import jax.numpy as jnp
 
+    # critic_scan=False on purpose: with the conftest trim defaulting the
+    # suite to the scan body, this covers the bf16 casts inside the
+    # UNROLLED critic loop — the structure bench.py's production program
+    # actually ships (variant_config default critic_scan=False)
     cfg = make_tiny_cfg("film_cross_attention",
-                        train_kw=dict(cond_embed_reuse="per_update"))
+                        train_kw=dict(cond_embed_reuse="per_update",
+                                      critic_scan=False))
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, compute_dtype="bfloat16"))
     eng = WGANGPEngine(cfg, steps_per_epoch=2)

@@ -109,15 +109,18 @@ def test_training_step_with_pallas_matches_reference(monkeypatch):
             cfg,
             model=dataclasses.replace(cfg.model, gen_dims=(16, 16),
                                       disc_dims=(16, 16), latent_dim=8),
-            # n_critic=2 + critic_scan: this was the cold suite's single
-            # biggest compile sink (97.7 s — TWO full fused-step programs
-            # plus interpret-mode pallas execution of every critic
-            # iteration). The pallas-vs-jnp equivalence being asserted is
-            # per-attention-call and does not depend on the critic count;
-            # scan-vs-unrolled numerics equivalence is pinned separately
+            # n_critic=2: this was the cold suite's single biggest compile
+            # sink (97.7 s — TWO full fused-step programs plus
+            # interpret-mode pallas execution of every critic iteration);
+            # the pallas-vs-jnp equivalence asserted here is
+            # per-attention-call and does not depend on the critic count.
+            # critic_scan stays False ON PURPOSE: with the conftest trim
+            # defaulting every other test to the scan body, this is the
+            # suite's coverage of pallas custom-VJP calls inside the
+            # UNROLLED Python critic loop — the library-default path.
+            # Scan-vs-unrolled numerics equivalence is pinned separately
             # (test_engine.py::test_critic_scan_matches_unrolled).
-            train=dataclasses.replace(cfg.train, n_critic=2,
-                                      critic_scan=True))
+            train=dataclasses.replace(cfg.train, n_critic=2))
 
     data = synthetic_dataset(n=8, n_genes=24, num_patches=fa.MIN_PALLAS_LQ,
                              patch_dim=8, num_tokens=4, text_dim=8, seed=0)
