@@ -99,7 +99,7 @@ def test_training_step_with_pallas_matches_reference(monkeypatch):
     from gemm_gan_tpu.data.loader import Batches
     from gemm_gan_tpu.train.wgan import WGANGPEngine
 
-    def cfg_with(use_pallas):
+    def cfg_with(use_pallas, critic_scan):
         cfg = gg.variant_config(
             "film_cross_attention", n_genes=24,
             fusion_kw=dict(cond_dim=16, text_dim=8, patch_dim=8, ff_dim=32,
@@ -110,28 +110,34 @@ def test_training_step_with_pallas_matches_reference(monkeypatch):
             model=dataclasses.replace(cfg.model, gen_dims=(16, 16),
                                       disc_dims=(16, 16), latent_dim=8),
             # n_critic=2: this was the cold suite's single biggest compile
-            # sink (97.7 s — TWO full fused-step programs plus
-            # interpret-mode pallas execution of every critic iteration);
-            # the pallas-vs-jnp equivalence asserted here is
+            # sink (97.7 s — TWO full fused-step programs at n_critic=5
+            # plus interpret-mode pallas execution of every critic
+            # iteration); the pallas-vs-jnp equivalence asserted here is
             # per-attention-call and does not depend on the critic count.
-            # critic_scan stays False ON PURPOSE: with the conftest trim
-            # defaulting every other test to the scan body, this is the
-            # suite's coverage of pallas custom-VJP calls inside the
-            # UNROLLED Python critic loop — the library-default path.
-            # Scan-vs-unrolled numerics equivalence is pinned separately
-            # (test_engine.py::test_critic_scan_matches_unrolled).
-            train=dataclasses.replace(cfg.train, n_critic=2))
+            # The PALLAS engine keeps critic_scan=False on purpose: with
+            # the conftest trim defaulting every other test to the scan
+            # body, this is the suite's coverage of pallas custom-VJP
+            # calls inside the UNROLLED Python critic loop — the library
+            # default. The jnp REFERENCE engine uses the scan body (half
+            # the compile): scan-vs-unrolled is numerically identical —
+            # same ops, same key order — and pinned by its own test
+            # (test_engine.py::test_critic_scan_matches_unrolled), so the
+            # comparison is transitively against the unrolled reference.
+            train=dataclasses.replace(cfg.train, n_critic=2,
+                                      critic_scan=critic_scan))
 
     data = synthetic_dataset(n=8, n_genes=24, num_patches=fa.MIN_PALLAS_LQ,
                              patch_dim=8, num_tokens=4, text_dim=8, seed=0)
     batch = next(iter(Batches(data, batch_size=8, seed=0, shuffle=False)))
 
-    eng_ref = WGANGPEngine(cfg_with(False), steps_per_epoch=2)
+    eng_ref = WGANGPEngine(cfg_with(False, critic_scan=True),
+                           steps_per_epoch=2)
     s_ref = eng_ref.init_state(0, batch)
     s_ref, m_ref = eng_ref.step(s_ref, batch)
 
     monkeypatch.setattr(fa, "_INTERPRET", True)
-    eng_pal = WGANGPEngine(cfg_with(True), steps_per_epoch=2)
+    eng_pal = WGANGPEngine(cfg_with(True, critic_scan=False),
+                           steps_per_epoch=2)
     s_pal = eng_pal.init_state(0, batch)
     s_pal, m_pal = eng_pal.step(s_pal, batch)
 
