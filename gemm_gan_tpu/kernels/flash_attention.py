@@ -646,8 +646,13 @@ def flash_mha(q, k, v, kv_mask=None, scale=None, block_q: int = 512,
     lse, and accumulators stay f32) — the standard production flash
     precision; opt-in here because WGAN critics are variance-sensitive.
     """
-    if pltpu is None and not _INTERPRET:
-        raise RuntimeError("Pallas TPU backend unavailable")
+    if pltpu is None:
+        # even interpret mode needs pltpu here: the classic kernels take
+        # pltpu.VMEM-typed scratch refs (the BLE kernels are scratch-free
+        # and stay interpretable without it)
+        raise RuntimeError(
+            "Pallas TPU backend unavailable (classic-layout kernels need "
+            "pltpu scratch specs; use masked_mha for automatic fallback)")
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if kv_mask is None:
@@ -788,9 +793,14 @@ def masked_mha(q, k, v, kv_mask=None, scale=None, use_pallas: bool = True,
                          use_pallas=use_pallas, mxu_bf16=mxu_bf16)
         return out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
     on_tpu = jax.default_backend() == "tpu"
+    # classic kernels require pltpu EVEN in interpret mode: their scratch
+    # specs are pltpu.VMEM-typed, so on a build where the pallas tpu import
+    # failed the call would TypeError into the fallback warning — dispatch
+    # straight to the reference instead (the scratch-free BLE kernels above
+    # remain interpretable without pltpu)
     if (use_pallas and not _pallas_disabled()
             and _dim_ge(q.shape[2], MIN_PALLAS_LQ)
-            and (_INTERPRET or (on_tpu and pltpu is not None))):
+            and pltpu is not None and (_INTERPRET or on_tpu)):
         try:
             return flash_mha(q, k, v, kv_mask, scale=scale, mxu_bf16=mxu_bf16)
         except Exception as e:  # trace-time only; see _warn_flash_fallback

@@ -49,6 +49,24 @@ def cond_of(batch: Dict[str, Any]) -> Optional[Dict[str, Any]]:
 
 class WGANGPEngine:
     def __init__(self, cfg: ExperimentConfig, steps_per_epoch: int = 1, mesh=None):
+        if cfg.train.n_critic < 1:
+            raise ValueError(
+                f"train.n_critic must be >= 1, got {cfg.train.n_critic} "
+                "(the WGAN-GP step performs n_critic critic updates before "
+                "each generator update — reference "
+                "conditional_gan_concat.py:236)")
+        if cfg.model.use_batchnorm:
+            raise ValueError(
+                "model.use_batchnorm=True is not supported by the fused "
+                "WGAN-GP engine: the per-sample gradient penalty is "
+                "incompatible with batch-coupled critic statistics "
+                "(Gulrajani et al. 2017 §4 — 'no critic batch "
+                "normalization'), and the reference itself never enables "
+                "its is_bn option (is_bn=False in every entry point, "
+                "conditional_gan_concat.py:103,159). Where the reference "
+                "DOES hard-code a BatchNorm (the attention variant's "
+                "attn_bn), the fusion modules use LayerNorm — a documented "
+                "divergence (PARITY.md).")
         self.cfg = cfg
         self.mesh = mesh
         sp_mesh = mesh if cfg.model.fusion.sequence_parallel else None
@@ -87,13 +105,24 @@ class WGANGPEngine:
             gs = param_shardings(self.mesh, state.g_params, cfg.model.n_genes)
             ds = param_shardings(self.mesh, state.d_params, cfg.model.n_genes)
             rep = NamedSharding(self.mesh, P())
+            # Optimizer accumulators mirror the param pytree (optax nu/trace
+            # subtrees keep the same .../kernel leaf paths and shapes), so
+            # the SAME TP rules apply: a replicated opt state would store
+            # the full gene-dim accumulators on every device and force a
+            # per-step all-gather of gradient-sized data over `model` to
+            # rebuild them — the exact tensors TP exists to shard. Scalar
+            # leaves (step counts) fall through the rules to replicated.
+            g_os = param_shardings(self.mesh, state.g_opt_state,
+                                   cfg.model.n_genes)
+            d_os = param_shardings(self.mesh, state.d_opt_state,
+                                   cfg.model.n_genes)
             state = state.replace(
                 g_params=jax.tree.map(place_global, state.g_params, gs),
                 d_params=jax.tree.map(place_global, state.d_params, ds),
-                g_opt_state=jax.tree.map(lambda x: place_global(x, rep),
-                                         state.g_opt_state),
-                d_opt_state=jax.tree.map(lambda x: place_global(x, rep),
-                                         state.d_opt_state),
+                g_opt_state=jax.tree.map(place_global, state.g_opt_state,
+                                         g_os),
+                d_opt_state=jax.tree.map(place_global, state.d_opt_state,
+                                         d_os),
                 step=place_global(state.step, rep),
                 key=place_global(state.key, rep),
                 g_ema=(None if state.g_ema is None else
@@ -842,7 +871,7 @@ class WGANGPEngine:
             if last_metrics is not None:
                 if logger is not None:
                     logger.log(int(jax.device_get(state.step)),
-                               **{k: v for k, v in last_metrics.items()})
+                               **last_metrics)
                 history["d_loss"].append(float(last_metrics["d_loss"]))
                 history["g_loss"].append(float(last_metrics["g_loss"]))
             if on_epoch_end is not None:

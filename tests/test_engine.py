@@ -515,3 +515,23 @@ def test_bf16_production_preset_trains_and_keeps_f32_params(
     fake = np.asarray(eng.generate_samples(state, jax.random.key(0), batch))
     assert fake.dtype == np.float32 and fake.shape == (8, 24)
     assert np.isfinite(fake).all()
+
+
+def test_rejects_batchnorm_and_zero_critic(tiny_data, make_tiny_cfg):
+    """use_batchnorm=True must fail FAST with the documented rationale (the
+    per-sample GP is incompatible with batch-coupled critic statistics and
+    the reference never enables its is_bn option) instead of crashing at
+    the first step with a flax collection error; n_critic < 1 must name the
+    misconfiguration instead of unpacking None at trace time."""
+    import dataclasses
+
+    cfg = make_tiny_cfg("vanilla")
+    bn_cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, use_batchnorm=True))
+    with pytest.raises(ValueError, match="use_batchnorm"):
+        WGANGPEngine(bn_cfg, steps_per_epoch=2)
+    for bad in (0, -1):
+        zc_cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, n_critic=bad))
+        with pytest.raises(ValueError, match="n_critic"):
+            WGANGPEngine(zc_cfg, steps_per_epoch=2)

@@ -330,3 +330,25 @@ def test_fully_masked_rows_zero_ble(rng, monkeypatch):
                            num_heads=H)
     np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_classic_dispatch_without_pltpu_uses_reference(monkeypatch, rng):
+    """On builds where the pallas TPU import fails (fa.pltpu is None), the
+    classic-layout kernels cannot run even in interpret mode — their
+    scratch specs are pltpu-typed. The dispatch must route straight to the
+    reference path with NO fallback warning (an accidental TypeError->warn
+    fallback would silently turn every kernel test into a reference test),
+    and a direct flash_mha call must raise the clear RuntimeError."""
+    import warnings
+
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    monkeypatch.setattr(fa, "pltpu", None)
+    q = jnp.asarray(rng.randn(1, 2, fa.MIN_PALLAS_LQ, 8).astype(np.float32))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # no fallback warning
+        out = fa.masked_mha(q, q, q, None, use_pallas=True)
+    ref = fa.mha_reference(q, q, q, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(RuntimeError, match="classic-layout"):
+        fa.flash_mha(q, q, q)

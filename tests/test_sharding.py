@@ -153,3 +153,43 @@ def test_step_many_cached_on_mesh_matches_single_device(tiny_data, make_tiny_cfg
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-2,
                                                          atol=5e-4),
                  s1.g_params, s2.g_params)
+
+
+def test_opt_state_accumulators_shard_like_params(tiny_data, make_tiny_cfg):
+    """Optimizer accumulators mirror the param pytree, so the gene-dim
+    leaves must carry the SAME tensor-parallel shardings as the params they
+    track — a replicated opt state would store full gene-dim accumulators
+    on every device and all-gather gradient-sized data over `model` each
+    step."""
+    import jax
+
+    from gemm_gan_tpu.parallel.mesh import make_mesh
+    from gemm_gan_tpu.train.wgan import WGANGPEngine
+
+    mesh = make_mesh(data=4, model=2)
+    cfg = make_tiny_cfg("vanilla")
+    eng = WGANGPEngine(cfg, steps_per_epoch=2, mesh=mesh)
+    batch = {"genes": tiny_data["genes"][:8]}
+    state = eng.init_state(0, batch)
+
+    def specs_by_shape(tree):
+        out = {}
+        for leaf in jax.tree.leaves(tree):
+            out.setdefault(tuple(leaf.shape), set()).add(
+                tuple(leaf.sharding.spec))
+        return out
+
+    p = specs_by_shape((state.g_params, state.d_params))
+    o = specs_by_shape((state.g_opt_state, state.d_opt_state))
+    # every param-shaped opt leaf (nu accumulators) matches its param spec —
+    # in particular the sharded gene-dim kernels/biases
+    sharded_shapes = {s for s, specs in p.items()
+                     if any(any(ax is not None for ax in sp) for sp in specs)}
+    assert sharded_shapes, "expected TP-sharded gene-dim params"
+    for shape in sharded_shapes:
+        assert shape in o, f"no opt accumulator for sharded param {shape}"
+        assert o[shape] == p[shape], (shape, p[shape], o[shape])
+    # one mesh step still runs (numerics vs single-device pinned elsewhere)
+    state, m = eng.step(state, batch)
+    import numpy as np
+    assert np.isfinite(float(jax.device_get(m["d_loss"])))
