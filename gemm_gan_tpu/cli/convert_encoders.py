@@ -61,18 +61,22 @@ def find_checkpoint(spec: str) -> str:
         # lexicographic sort of commit hashes says nothing about recency
         # and could silently convert a STALE checkpoint when the cache
         # holds several revisions.
+        rev = None
         try:
             with open(os.path.join(repo, "refs", "main")) as f:
                 rev = f.read().strip()
-            current = os.path.join(repo, "snapshots", rev)
-            if os.path.isdir(current):
-                snaps = [current] + [s for s in snaps if s != current]
         except OSError:
-            if len(snaps) > 1:
-                print(f"warning: {spec}: {len(snaps)} cached snapshots and "
-                      f"no refs/main — picking {snaps[-1]} (newest mtime "
-                      f"wins); pass an explicit path to be sure", flush=True)
-                snaps.sort(key=os.path.getmtime, reverse=True)
+            pass
+        current = os.path.join(repo, "snapshots", rev) if rev else None
+        if current and os.path.isdir(current):
+            snaps = [current] + [s for s in snaps if s != current]
+        elif len(snaps) > 1:
+            # No usable refs/main (missing file OR dangling ref): fall back
+            # to newest-mtime, and warn naming the ACTUAL pick.
+            snaps.sort(key=os.path.getmtime, reverse=True)
+            print(f"warning: {spec}: {len(snaps)} cached snapshots and no "
+                  f"usable refs/main — picking {snaps[0]} (newest mtime "
+                  f"wins); pass an explicit path to be sure", flush=True)
         roots = snaps
     for root in roots:
         for name in _CANDIDATES:

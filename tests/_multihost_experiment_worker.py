@@ -46,15 +46,15 @@ def main():
     os.environ["JAX_PLATFORMS"] = "cpu"
     # same flag policy as the parent suite (tests/_xla_test_flags.py): the
     # parent compares these workers' results bitwise against in-suite runs,
-    # and the LLVM opt level must agree for instruction-identical code. An
-    # explicit --xla_backend_optimization_level inherited via XLA_FLAGS wins
-    # there and here alike; the device count is rebuilt for 2 virtual devices.
+    # so EVERY codegen-affecting flag a user pins via XLA_FLAGS must apply
+    # here exactly as in-suite — pass the full inherited set through, minus
+    # only the device-count flag (rebuilt for 2 virtual devices).
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from _xla_test_flags import build_xla_flags
 
-    inherited_opt = [f for f in os.environ.get("XLA_FLAGS", "").split()
-                     if "xla_backend_optimization_level" in f]
-    os.environ["XLA_FLAGS"] = build_xla_flags(2, base=" ".join(inherited_opt))
+    inherited = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+    os.environ["XLA_FLAGS"] = build_xla_flags(2, base=" ".join(inherited))
 
     tests_dir = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, os.path.dirname(tests_dir))
