@@ -71,6 +71,42 @@ def _compute_metrics(y_true, y_pred) -> Dict[str, float]:
     }
 
 
+def tstr_transfer_accuracy(fake, fake_y, real_te, real_te_y) -> float:
+    """TSTR reduced to its conditioning-sensitive core: fit a linear
+    classifier on (generated, condition-label), score on held-out real
+    (reference protocol /root/reference/src/utility_evaluation.py:131-175).
+    Materially-above-chance accuracy is direct statistical evidence that
+    generation is steered by the condition — a condition-blind generator
+    scores ~chance no matter how good its marginals are. LR (not the full
+    MLP/RF battery) keeps it deterministic and seconds-fast; the full
+    battery is `UtilityEvaluator`."""
+    from sklearn.linear_model import LogisticRegression
+
+    clf = LogisticRegression(max_iter=500)
+    clf.fit(fake, fake_y)
+    return float((clf.predict(real_te) == real_te_y).mean())
+
+
+def class_mean_alignment(fake, fake_y, real_te, real_te_y, n_perm: int = 8):
+    """(aligned, shuffled): mean over classes of ||mean(fake | label=c) -
+    mean(real | label=c)||, under the true generation labels vs the mean of
+    `n_perm` label-shuffled controls. A generator that ignores its
+    condition scores aligned ~= shuffled (ratio ~1); one that steers by
+    label scores far lower aligned than shuffled."""
+    classes = np.intersect1d(np.unique(fake_y), np.unique(real_te_y))
+    mu_real = np.stack([real_te[real_te_y == c].mean(0) for c in classes])
+
+    def dist(y):
+        return float(np.mean([
+            np.linalg.norm(fake[y == c].mean(0) - mu_real[i])
+            for i, c in enumerate(classes)]))
+
+    rng = np.random.RandomState(0)
+    shuffled = float(np.mean([dist(rng.permutation(fake_y))
+                              for _ in range(n_perm)]))
+    return dist(fake_y), shuffled
+
+
 class UtilityEvaluator:
     label_infix = ""
 
