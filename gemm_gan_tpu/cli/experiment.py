@@ -61,6 +61,23 @@ def _host_subsample_patches(split: Dict, num_patches: int, seed: int) -> Dict:
     return out
 
 
+def val_score(rec: Dict) -> float:
+    """Scalar quality of one validation record, higher = better:
+    (1 - detection accuracy) + precision + recall + coverage.
+
+    Captures realism (detection falling toward chance) AND coverage — the
+    measured late-run failure mode in the drift regime is mode-sharpening
+    (recall/coverage collapse while precision holds; BASELINE.md
+    canonical-width narrative) — so the earliest gate-clearing eval scores
+    highest. Works for both validation modes: the host battery
+    (`detection` + `compute_evaluation_metrics`) and the on-device proxy
+    (kNN detection + PRDC) record the same keys."""
+    det = next(iter(rec["detection"].values()))["accuracy"]
+    m = rec["metrics"]
+    return float((1.0 - det) + m["precision"] + m["recall"]
+                 + m.get("coverage", 0.0))
+
+
 def _balanced_indices(disease: np.ndarray, max_oversample: int, rng) -> np.ndarray:
     """Class-balanced oversampling capped at max_oversample x
     (parity: conditional_gan_concat.py:465-482)."""
@@ -214,6 +231,9 @@ class Experiment:
         os.makedirs(self.out_dir, exist_ok=True)
         self.logger = MetricLogger(self.out_dir, cfg.run_name) if self.is_main else None
         self.val_metrics_history = []
+        # gate-best validation checkpoint tracking ({score, epoch, step};
+        # rank-0 view — see _maybe_save_best)
+        self._best = None
 
     # --------------------------------------------------- multi-process helpers
     def _state_for_save(self, state):
@@ -373,6 +393,13 @@ class Experiment:
                         self.val_metrics_history = [
                             r for r in json.load(f)
                             if r["epoch"] < start_epoch]
+                # ... and the best-checkpoint record, so the resumed tail
+                # only overwrites ckpt_best when it genuinely beats the
+                # pre-crash peak
+                best_path = os.path.join(self.out_dir, "best.json")
+                if os.path.exists(best_path):
+                    with open(best_path) as f:
+                        self._best = json.load(f)
 
         prof = EpochProfileWindow(profile_dir if self.is_main else None,
                                   profile_epochs)
@@ -382,9 +409,10 @@ class Experiment:
             last = (epoch == t.epochs - 1)
             if (epoch + 1) % t.freq_compute_test == 0 and not last:
                 sub = jax.random.fold_in(key, epoch)
-                self._validation_eval(state, sub, epoch)
+                rec = self._validation_eval(state, sub, epoch)
                 if t.checkpoint_every_eval:
                     save_state(ckpt_dir, self._state_for_save(state))
+                self._maybe_save_best(state, rec, epoch)
             return None
 
         try:
@@ -469,6 +497,42 @@ class Experiment:
                         val_precision=metrics["precision"],
                         val_recall=metrics["recall"])
         return rec
+
+    def _maybe_save_best(self, state, rec, epoch):
+        """Track the gate-best validation checkpoint in `ckpt_best/`.
+
+        The measured drift regime makes this necessary (VERDICT r3 weak #3):
+        at canonical width quality peaks at the earliest gate-clearing eval
+        and degrades monotonically afterward (mode-sharpening recall
+        collapse — BASELINE.md), so the reference's restore-the-final-
+        checkpoint semantics ship the WORST evaluated model. Whenever a
+        validation eval scores strictly above the best so far (`val_score`:
+        strictly-greater keeps the EARLIEST peak on ties), the full train
+        state is saved to `ckpt_best/` and `best.json` records
+        {score, epoch, step}. `evaluate(which="best")` restores it;
+        the default `which="last"` keeps reference semantics.
+
+        Multi-process: `rec` exists on rank 0 only, but Orbax saves are
+        collective — the decision is broadcast so every rank calls
+        `save_state` together."""
+        score = val_score(rec) if rec is not None else None
+        new_best = score is not None and (self._best is None
+                                          or score > self._best["score"])
+        if self.nproc > 1:
+            from jax.experimental import multihost_utils
+
+            flag = multihost_utils.broadcast_one_to_all(
+                np.asarray([1 if new_best else 0], np.int32))
+            new_best = bool(flag[0])
+        if not new_best:
+            return
+        step = save_state(os.path.join(self.out_dir, "ckpt_best"),
+                          self._state_for_save(state))
+        if self.is_main:
+            self._best = {"score": float(score), "epoch": int(epoch),
+                          "step": int(step)}
+            with open(os.path.join(self.out_dir, "best.json"), "w") as f:
+                json.dump(self._best, f, indent=2)
 
     def _plot_val_curves(self):
         """Validation metric curves (parity: :710-729)."""
@@ -567,8 +631,16 @@ class Experiment:
         return summary
 
     # -------------------------------------------------------------- evaluate
-    def evaluate(self) -> Dict:
+    def evaluate(self, which: str = "last") -> Dict:
         """Restore checkpoint and rerun the test block (parity: :869-1015).
+
+        `which="last"` (default, reference semantics
+        /root/reference/src/conditional_gan_concat.py:869-877) restores the
+        newest full-state checkpoint; `which="best"` restores the gate-best
+        validation checkpoint tracked by `_maybe_save_best` — at canonical
+        width the measured drift makes "best" the model a user actually
+        wants (BASELINE.md; VERDICT r3 weak #3). CLI: `cli.train
+        --evaluate_only --evaluate_which best`.
 
         Dump dirs are named by the EPOCH the restored step corresponds to
         (the reference hardcodes `test_{run}_epoch_500`, i.e. the final
@@ -579,10 +651,19 @@ class Experiment:
         Multi-process: restore is collective (every rank calls with the
         global-array template so Orbax re-places shards); the returned
         summary is rank-0-only (`{}` elsewhere)."""
+        if which not in ("last", "best"):
+            raise ValueError(f"which must be 'last' or 'best', got {which!r}")
+        ckpt_dir = os.path.join(self.out_dir,
+                                "ckpt" if which == "last" else "ckpt_best")
+        if which == "best" and not os.path.isdir(ckpt_dir):
+            raise FileNotFoundError(
+                f"no best checkpoint under {ckpt_dir}: best tracking needs "
+                "periodic validation during fit (train.freq_compute_test < "
+                "train.epochs); rerun fit or use which='last'")
         sample_batch = next(iter(self.loaders["train"].epoch(0)))
         template = self._state_for_save(
             self.engine.init_state(self.cfg.train.seed, sample_batch))
-        state = restore_state(os.path.join(self.out_dir, "ckpt"), template)
+        state = restore_state(ckpt_dir, template)
         # same steps-per-epoch accounting as fit()/resume_or_fresh: the scan
         # path counts full batches per epoch, the per-batch path counts all
         train = self.loaders["train"]

@@ -70,6 +70,14 @@ def build_parser():
     p.add_argument("--profile_epochs", type=int, default=1,
                    help="how many epochs the --profile_dir trace covers")
     p.add_argument("--evaluate_only", action="store_true")
+    p.add_argument("--evaluate_which", default="last",
+                   choices=("last", "best"),
+                   help="which checkpoint --evaluate_only restores: 'last' "
+                        "(reference semantics) or 'best' — the gate-best "
+                        "validation checkpoint tracked during fit; in the "
+                        "measured drift regime quality peaks at the "
+                        "earliest gate-clearing eval, so 'best' is usually "
+                        "the model you want (BASELINE.md)")
     p.add_argument("--checkpoint_every_eval", action="store_true",
                    help="save a full train-state checkpoint at every "
                         "validation epoch, not just at the end (always on "
@@ -175,7 +183,12 @@ def main(argv=None):
     save_config(cfg, os.path.join(exp.out_dir, "config.json"))
 
     if args.evaluate_only:
-        results = exp.evaluate()
+        if args.evaluate_which == "best" and args.variant in ("vae", "cvae"):
+            raise ValueError("--evaluate_which best applies to the GAN "
+                             "Experiment only (VAEExperiment keeps a single "
+                             "final checkpoint)")
+        results = (exp.evaluate(which=args.evaluate_which)
+                   if args.variant not in ("vae", "cvae") else exp.evaluate())
     else:
         fit_kw = {}
         if args.profile_dir:

@@ -1,0 +1,185 @@
+"""Full PRODUCT-PATH quality run at canonical width (VERDICT r3 next #3).
+
+The r3 quality evidence came from `scripts/validate_dynamics.py`, which
+drives the engine directly; this script closes the probe-vs-product gap by
+running the user-facing `Experiment` protocol end to end — `fit()` with
+periodic validation (on-device proxy), gate-best checkpoint tracking
+(`ckpt_best/` + `best.json`), the final test block with the reference's
+8-npy artifact contract, `evaluate(which="best")`, and post-hoc
+TSTR utility + privacy over the dumped artifacts (reference protocol
+/root/reference/src/conditional_gan_concat.py:575-1110 +
+src/utility_evaluation.py:131-175) — on the structured synthetic regime at
+the reference's true shape (18,868 genes, 256x1024 patches, 300x768
+tokens), flagship variant, EMA generator.
+
+Verdict asserts the round-4 promises:
+  * marginal gates at the BEST checkpoint (Γ, detection falling);
+  * TSTR over the dumped artifacts materially above the majority-class
+    rate — statistical proof the multimodal conditioning steers generation;
+  * best-checkpoint beats the final checkpoint (the measured drift makes
+    `which="last"` the worst evaluated model — BASELINE.md).
+
+    python -u scripts/quality_experiment.py                  # canonical, chip
+    python -u scripts/quality_experiment.py --smoke --cpu    # tiny plumbing run
+
+Prints JSON progress lines and a final verdict line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gemm_gan_tpu.data.synthetic import structured_dataset  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=4096, help="train cases")
+    ap.add_argument("--val", type=int, default=384)
+    ap.add_argument("--test", type=int, default=512)
+    ap.add_argument("--genes", type=int, default=18868)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--freq", type=int, default=2,
+                    help="train.freq_compute_test (validation cadence)")
+    ap.add_argument("--n-runs", type=int, default=2)
+    ap.add_argument("--ema", type=float, default=0.999)
+    ap.add_argument("--patches", type=int, default=256)
+    ap.add_argument("--patch-dim", type=int, default=1024)
+    ap.add_argument("--tokens", type=int, default=300)
+    ap.add_argument("--text-dim", type=int, default=768)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="library default f32 = reference-parity numerics")
+    ap.add_argument("--out", default="/tmp/quality_experiment")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env prefix does not stick "
+                         "here — CLAUDE.md)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes: plumbing check, not a quality run")
+    args = ap.parse_args()
+    if args.smoke:
+        args.cases, args.val, args.test, args.genes = 96, 32, 32, 64
+        args.epochs, args.freq, args.patches, args.patch_dim = 4, 1, 8, 16
+        args.tokens, args.text_dim, args.n_runs = 6, 12, 1
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gemm_gan_tpu.cli.experiment import Experiment, val_score
+    from gemm_gan_tpu.config import variant_config
+    from gemm_gan_tpu.utils.compile_cache import enable_compile_cache
+    from gemm_gan_tpu.utils.stderr_filter import install_stderr_aot_filter
+
+    enable_compile_cache()
+    install_stderr_aot_filter()
+
+    t0 = time.time()
+
+    def log(**kw):
+        kw["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps(kw), flush=True)
+
+    n = args.cases + args.val + args.test
+    data = structured_dataset(n, n_genes=args.genes, num_patches=args.patches,
+                              patch_dim=args.patch_dim, num_tokens=args.tokens,
+                              text_dim=args.text_dim)
+    mu = data["genes"][:args.cases].mean(0)
+    sd = data["genes"][:args.cases].std(0) + 1e-8
+    data["genes"] = ((data["genes"] - mu) / sd).astype(np.float32)
+    bounds = {"train": (0, args.cases),
+              "val": (args.cases, args.cases + args.val),
+              "test": (args.cases + args.val, n)}
+    splits = {name: {k: v[a:b] for k, v in data.items()}
+              for name, (a, b) in bounds.items()}
+    del data
+    log(event="data", cases=args.cases, genes=args.genes)
+
+    fusion_kw = {}
+    if args.patch_dim != 1024 or args.text_dim != 768:
+        fusion_kw = dict(patch_dim=args.patch_dim, text_dim=args.text_dim,
+                         cond_dim=64, ff_dim=128)
+    cfg = variant_config("film_cross_attention", n_genes=args.genes,
+                         fusion_kw=fusion_kw)
+    cfg = dataclasses.replace(
+        cfg,
+        output_dir=args.out, run_name="canonical",
+        model=dataclasses.replace(cfg.model, compute_dtype=args.dtype),
+        # the r3-validated production training settings (BASELINE.md
+        # "Canonical-width training" run 2): per_update conditioning reuse,
+        # ε-drift anchor, critic scan, EMA generator
+        train=dataclasses.replace(
+            cfg.train, epochs=args.epochs, freq_compute_test=args.freq,
+            cond_embed_reuse="per_update", drift_epsilon=1e-3,
+            critic_scan=True, ema_decay=args.ema,
+            checkpoint_every_eval=False),
+        # on-device validation proxy: 0.3-0.5 s per pass vs ~minutes of
+        # host suite per eval epoch at canonical width (BASELINE.md
+        # subsystem table); the final test block runs the full host suite
+        eval=dataclasses.replace(cfg.eval, n_runs=args.n_runs,
+                                 on_device_validation=True),
+    )
+    if os.path.isdir(os.path.join(args.out, "canonical")):
+        shutil.rmtree(os.path.join(args.out, "canonical"))
+    exp = Experiment(cfg, splits)
+    log(event="experiment_built", steps_per_epoch=len(exp.loaders["train"]))
+
+    fit_results = exp.fit()
+    log(event="fit_done", gamma_last=fit_results.get("gamma_mean"),
+        n_val_evals=len(exp.val_metrics_history))
+
+    best_path = os.path.join(exp.out_dir, "best.json")
+    best = None
+    if os.path.exists(best_path):
+        with open(best_path) as f:
+            best = json.load(f)
+    log(event="best", best=best,
+        val_history=[{"epoch": r["epoch"],
+                      "score": round(float(val_score(r)), 4)}
+                     for r in exp.val_metrics_history])
+
+    # keep the posthoc report pure best-checkpoint evidence: capture fit's
+    # (final-checkpoint) summary above, then drop its dump dirs before the
+    # best-checkpoint test block regenerates them at the peak epoch
+    for d in glob.glob(os.path.join(exp.out_dir, "test_*_epoch_*")):
+        shutil.rmtree(d)
+    best_results = exp.evaluate(which="best")
+    log(event="evaluate_best_done", gamma_best=best_results.get("gamma_mean"))
+
+    util = exp.posthoc_utility()
+    priv = exp.posthoc_privacy()
+    y = splits["test"]["disease"]
+    chance = float(np.bincount(y).max() / len(y))  # majority-class rate
+    tstr = {clf: util["disease"]["TSTR"][clf]["Accuracy"]
+            for clf in util.get("disease", {}).get("TSTR", {})}
+    log(event="posthoc", tstr=tstr, chance=round(chance, 4), privacy=priv)
+
+    gamma_best = float(best_results.get("gamma_mean", float("nan")))
+    gamma_last = float(fit_results.get("gamma_mean", float("nan")))
+    tstr_best = max((m for m, _ in tstr.values()), default=float("nan"))
+    ok = (np.isfinite(gamma_best) and gamma_best > 0.5
+          and np.isfinite(tstr_best) and tstr_best > 1.5 * chance
+          and best is not None)
+    if args.smoke:  # tiny run: plumbing only, no statistical claims
+        ok = np.isfinite(gamma_best) and np.isfinite(tstr_best)
+    log(event="verdict", ok=bool(ok), gamma_best=round(gamma_best, 4),
+        gamma_last=round(gamma_last, 4), tstr_best=round(tstr_best, 4),
+        tstr_chance=round(chance, 4),
+        best_beats_last=bool(gamma_best >= gamma_last))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
