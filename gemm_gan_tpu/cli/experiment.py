@@ -148,7 +148,8 @@ class Experiment:
                 local = {k: v[sl] for k, v in tr.items()}
                 train_loader = ShardedDeviceCache(
                     local, t.batch_size, mesh=mesh,
-                    num_patches=cfg.data.num_patches, seed=t.seed)
+                    num_patches=cfg.data.num_patches, seed=t.seed,
+                    embedding_store_dtype=cfg.data.embedding_store_dtype)
             else:
                 train_loader = Batches(
                     splits["train"], per_host_b, seed=t.seed, shuffle=True,
@@ -197,12 +198,14 @@ class Experiment:
                 if name == "train":
                     return ShardedDeviceCache(
                         splits[name], t.batch_size, mesh=mesh,
-                        num_patches=cfg.data.num_patches, seed=t.seed)
+                        num_patches=cfg.data.num_patches, seed=t.seed,
+                        embedding_store_dtype=cfg.data.embedding_store_dtype)
                 return DeviceCache(
                     _host_subsample_patches(splits[name],
                                             cfg.data.num_patches, t.seed),
                     t.batch_size, num_patches=cfg.data.num_patches,
-                    seed=t.seed, shuffle=False, drop_remainder=False)
+                    seed=t.seed, shuffle=False, drop_remainder=False,
+                    embedding_store_dtype=cfg.data.embedding_store_dtype)
         elif cfg.data.cache_on_device and mesh is None:
             # HBM-resident cache: jitted gathers + fresh on-device patch
             # subsampling per step (SURVEY.md §7 decision 2). With a mesh the
@@ -213,7 +216,8 @@ class Experiment:
                 return DeviceCache(splits[name], t.batch_size,
                                    num_patches=cfg.data.num_patches,
                                    seed=t.seed, shuffle=(name == "train"),
-                                   drop_remainder=False)
+                                   drop_remainder=False,
+                                   embedding_store_dtype=cfg.data.embedding_store_dtype)
         else:
             def make(name):
                 # drop_remainder=False for parity with the reference's
@@ -255,8 +259,10 @@ class Experiment:
         return jax.tree.map(one, tree)
 
     def _generate_all(self, state, key, loader, epoch, num_repeats: int = 1,
-                      device_out: bool = False):
-        """`generate_samples_all` over a full-split loader.
+                      device_out: bool = False, batches=None):
+        """`generate_samples_all` over a full-split loader (or an explicit
+        `batches` iterable overriding `loader.epoch(epoch)` — used by the
+        capped validation regen, `eval.validation_max_cases`).
 
         Single-process: delegates to the engine (scan path per config).
         Multi-process: every rank enumerates the SAME global batch list;
@@ -269,9 +275,11 @@ class Experiment:
         to fp summation order of the training that produced the params.
         """
         ev = self.cfg.eval
+        if batches is None:
+            batches = loader.epoch(epoch)
         if self.nproc == 1:
             return self.engine.generate_samples_all(
-                state, key, loader.epoch(epoch), num_repeats=num_repeats,
+                state, key, batches, num_repeats=num_repeats,
                 scan=ev.scan_sampling, device_out=device_out)
         if device_out:
             raise NotImplementedError(
@@ -281,7 +289,7 @@ class Experiment:
 
         from gemm_gan_tpu.train.wgan import cond_of
 
-        batches = list(loader.epoch(epoch))
+        batches = list(batches)
         params = self._host_tree(self.engine._gen_params(state, None))
         if self._local_sample is None:
             # the engine's per-call sampler, jitted process-locally (host
@@ -443,11 +451,25 @@ class Experiment:
         ev = self.cfg.eval
         k1, k2 = jax.random.split(key)
         scan = ev.scan_sampling
+
+        def train_batches(loader):
+            """The train-side regen stream, capped at
+            `eval.validation_max_cases` cases (None = full split, the
+            reference behavior)."""
+            it = loader.epoch(epoch)
+            if ev.validation_max_cases is None:
+                return it
+            import itertools
+
+            b = self.cfg.train.batch_size
+            return itertools.islice(it, max(1, ev.validation_max_cases // b))
+
         if self.nproc > 1:
             # multi-process: collective sharded generation, rank-0-only
             # host metrics/writes (the on-device proxy is single-process)
-            train_out = self._generate_all(state, k1, self.gen_loaders["train"],
-                                           epoch)
+            train_out = self._generate_all(
+                state, k1, self.gen_loaders["train"], epoch,
+                batches=train_batches(self.gen_loaders["train"]))
             val_out = self._generate_all(state, k2, self.gen_loaders["val"],
                                          epoch)
             if not self.is_main:
@@ -464,7 +486,7 @@ class Experiment:
             from gemm_gan_tpu.eval.prdc import compute_prdc
 
             train_out = self.engine.generate_samples_all(
-                state, k1, self.loaders["train"].epoch(epoch), scan=scan,
+                state, k1, train_batches(self.loaders["train"]), scan=scan,
                 device_out=True)
             val_out = self.engine.generate_samples_all(
                 state, k2, self.loaders["val"].epoch(epoch), scan=scan,
@@ -475,7 +497,7 @@ class Experiment:
                                    nearest_k=ev.nearest_k)
         else:
             train_out = self.engine.generate_samples_all(
-                state, k1, self.loaders["train"].epoch(epoch), scan=scan)
+                state, k1, train_batches(self.loaders["train"]), scan=scan)
             val_out = self.engine.generate_samples_all(
                 state, k2, self.loaders["val"].epoch(epoch), scan=scan)
             det = detection(train_out["real"], train_out["fake"],

@@ -36,6 +36,16 @@ def build_parser():
                    choices=["standardize", "minmax", "none"])
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--bank_dtype", default=None, choices=(None, "bfloat16"),
+                   help="store the HBM bank's patch/token embeddings at "
+                        "this dtype (halves their residency; batches are "
+                        "upcast on gather so training numerics keep the "
+                        "compute dtype)")
+    p.add_argument("--validation_max_cases", type=int, default=None,
+                   help="cap the train-side regeneration during periodic "
+                        "validation (default: full split, reference "
+                        "behavior; at canonical width the full-train regen "
+                        "plus resident banks can exceed chip memory)")
     p.add_argument("--shard_bank", action="store_true",
                    help="shard the training bank's case axis over the mesh "
                         "data axis (per-chip HBM residency bank/S, "
@@ -164,7 +174,10 @@ def main(argv=None):
         data=dataclasses.replace(
             cfg.data, data_dir=args.data_dir, num_patches=args.num_patches,
             normalization=args.normalization, seed=args.seed,
-            shard_bank=args.shard_bank),
+            shard_bank=args.shard_bank,
+            embedding_store_dtype=args.bank_dtype),
+        eval=dataclasses.replace(
+            cfg.eval, validation_max_cases=args.validation_max_cases),
     )
 
     if args.variant in ("vae", "cvae"):

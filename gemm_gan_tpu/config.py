@@ -215,6 +215,11 @@ class DataConfig:
     # epoch scan gathers shard-locally. Requires a mesh; per-shard sampling
     # contract documented on the cache (data/device_cache.py)
     shard_bank: bool = False
+    # store the HBM bank's embedding arrays (patches/tokens/text_emb) at
+    # this dtype ("bfloat16" halves their residency — at canonical shapes
+    # they are ~8.8 GB of the ~10 GB bank); gathered batches are upcast so
+    # training numerics stay the compute dtype. None = store as loaded.
+    embedding_store_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -242,6 +247,15 @@ class EvalConfig:
     # ~GBs at TCGA scale). The final test block always runs the full host
     # classifier suite regardless.
     on_device_validation: bool = False
+    # cap the TRAIN-side regeneration during periodic validation to this
+    # many cases (None = the reference behavior: regenerate the whole train
+    # split, conditional_gan_concat.py:664-689). At canonical width with
+    # HBM-resident banks the full-train regen can exceed device memory
+    # (4,096 cases x 18,868 genes of real+fake device arrays + kNN/PRDC
+    # distance matrices on top of ~10 GB of embedding banks); validation
+    # statistics saturate long before the full split. The final test block
+    # is never capped.
+    validation_max_cases: Optional[int] = None
 
 
 @dataclass(frozen=True)

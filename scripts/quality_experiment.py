@@ -127,9 +127,15 @@ def main():
             checkpoint_every_eval=False),
         # on-device validation proxy: 0.3-0.5 s per pass vs ~minutes of
         # host suite per eval epoch at canonical width (BASELINE.md
-        # subsystem table); the final test block runs the full host suite
+        # subsystem table); the final test block runs the full host suite.
+        # validation_max_cases: the full-train regen (4,096 x 18,868 real+
+        # fake device arrays + kNN/PRDC distance matrices) on top of the
+        # ~10 GB resident banks OOMs the 16 GB chip — cap the train side;
+        # validation statistics saturate well before the full split.
         eval=dataclasses.replace(cfg.eval, n_runs=args.n_runs,
-                                 on_device_validation=True),
+                                 on_device_validation=True,
+                                 validation_max_cases=(None if args.smoke
+                                                       else 1024)),
     )
     if os.path.isdir(os.path.join(args.out, "canonical")):
         shutil.rmtree(os.path.join(args.out, "canonical"))

@@ -161,6 +161,39 @@ def test_best_checkpoint_selection(tmp_path, monkeypatch):
     assert glob.glob(os.path.join(exp.out_dir, "test_*_epoch_4"))
 
 
+def test_validation_max_cases_caps_train_regen(tmp_path, monkeypatch):
+    """`eval.validation_max_cases` caps the TRAIN-side regeneration during
+    periodic validation only (at canonical width the full-train regen on
+    top of the resident HBM banks exceeds chip memory); the val split and
+    the final test block stay uncapped (reference behavior)."""
+    from tests.conftest import tiny_cfg
+
+    tiny_data = synthetic_dataset(n=48, n_genes=24, n_classes=3, n_sites=2,
+                                  num_patches=8, patch_dim=16, num_tokens=6,
+                                  text_dim=12, seed=1)
+    cfg = tiny_cfg("benchmark", train_kw=dict(
+        n_critic=2, epochs=2, freq_compute_test=1, batch_size=8))
+    cfg = dataclasses.replace(
+        cfg, output_dir=str(tmp_path), run_name="cap",
+        eval=dataclasses.replace(cfg.eval, n_runs=1, pca_components=4,
+                                 nearest_k=3, validation_max_cases=16))
+    exp = Experiment(cfg, _splits(tiny_data))  # train split has 32 cases
+    seen = []
+    orig = exp.engine.generate_samples_all
+
+    def spy(state, key, batches, **kw):
+        batches = list(batches)
+        seen.append(sum(b["genes"].shape[0] for b in batches))
+        return orig(state, key, batches, **kw)
+
+    monkeypatch.setattr(exp.engine, "generate_samples_all", spy)
+    exp.fit()
+    # first validation eval: capped train regen (16 of 32), then the val
+    # split (8, uncapped); the final test block regenerates the FULL train
+    assert seen[0] == 16 and seen[1] == 8, seen
+    assert 32 in seen[2:], seen
+
+
 def test_evaluate_best_without_validation_raises(tmp_path):
     """which='best' needs a tracked best checkpoint (periodic validation)."""
     from tests.conftest import tiny_cfg
