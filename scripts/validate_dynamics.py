@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--cases", type=int, default=2048)
     ap.add_argument("--genes", type=int, default=2000)
     ap.add_argument("--eval-every", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="override train.batch_size (default: the canonical "
+                         "preset's 8). Used to quality-gate the wide-batch "
+                         "preset (B=64 measured +28% samples/s — BASELINE.md "
+                         "batch-scaling row) the same way bf16 was gated: "
+                         "batch size changes the optimization trajectory the "
+                         "reference defined at B=8, so it needs its own gate")
     # reduced shapes for CPU smoke runs; defaults are canonical
     ap.add_argument("--patches", type=int, default=256)
     ap.add_argument("--patch-dim", type=int, default=1024)
@@ -104,12 +111,14 @@ def main():
                          cond_dim=64, ff_dim=128)
     cfg = variant_config("film_cross_attention", n_genes=args.genes,
                          fusion_kw=fusion_kw)
+    train_kw = dict(cond_embed_reuse="per_update", drift_epsilon=1e-3,
+                    critic_scan=args.critic_scan, ema_decay=args.ema)
+    if args.batch_size is not None:
+        train_kw["batch_size"] = args.batch_size
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, compute_dtype=args.dtype),
-        train=dataclasses.replace(
-            cfg.train, cond_embed_reuse="per_update", drift_epsilon=1e-3,
-            critic_scan=args.critic_scan, ema_decay=args.ema))
+        train=dataclasses.replace(cfg.train, **train_kw))
     cache = DeviceCache(train, batch_size=cfg.train.batch_size, seed=0)
     test_cache = DeviceCache(test, batch_size=64, seed=0, shuffle=False,
                              drop_remainder=False)
