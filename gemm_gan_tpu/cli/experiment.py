@@ -276,7 +276,10 @@ class Experiment:
         """
         ev = self.cfg.eval
         if batches is None:
-            batches = loader.epoch(epoch)
+            # callable: the engine streams one gathered batch at a time off
+            # a device-resident loader instead of materializing the epoch
+            # on device (measured chip OOM at canonical width otherwise)
+            batches = lambda: loader.epoch(epoch)  # noqa: E731
         if self.nproc == 1:
             return self.engine.generate_samples_all(
                 state, key, batches, num_repeats=num_repeats,
@@ -289,7 +292,7 @@ class Experiment:
 
         from gemm_gan_tpu.train.wgan import cond_of
 
-        batches = list(batches)
+        batches = list(batches() if callable(batches) else batches)
         params = self._host_tree(self.engine._gen_params(state, None))
         if self._local_sample is None:
             # the engine's per-call sampler, jitted process-locally (host
@@ -453,16 +456,16 @@ class Experiment:
         scan = ev.scan_sampling
 
         def train_batches(loader):
-            """The train-side regen stream, capped at
-            `eval.validation_max_cases` cases (None = full split, the
-            reference behavior)."""
-            it = loader.epoch(epoch)
+            """The train-side regen stream (a fresh-iterable CALLABLE — the
+            engine streams device-resident batches instead of materializing
+            the epoch), capped at `eval.validation_max_cases` cases (None =
+            full split, the reference behavior)."""
             if ev.validation_max_cases is None:
-                return it
+                return lambda: loader.epoch(epoch)
             import itertools
 
-            b = self.cfg.train.batch_size
-            return itertools.islice(it, max(1, ev.validation_max_cases // b))
+            n_b = max(1, ev.validation_max_cases // self.cfg.train.batch_size)
+            return lambda: itertools.islice(loader.epoch(epoch), n_b)
 
         if self.nproc > 1:
             # multi-process: collective sharded generation, rank-0-only

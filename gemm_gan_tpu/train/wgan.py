@@ -744,6 +744,13 @@ class WGANGPEngine:
         proxies, downstream models) where device->host transfer of full
         profile matrices would dominate. Labels are always numpy.
 
+        `batches` may be an iterable of batches OR a callable returning a
+        fresh iterable per pass — pass a callable (e.g.
+        `lambda: cache.epoch(e)`) for device-resident loaders so the
+        per-call path streams one gathered batch at a time instead of
+        holding the whole epoch's conditioning on device (see the comment
+        at the materialization site below).
+
         `host_dtype` (e.g. `np.float16`; ignored under `device_out`): cast
         `real`/`fake` ON DEVICE to a narrower dtype before fetching, so the
         device->host wire carries half the bytes and the returned arrays
@@ -755,7 +762,22 @@ class WGANGPEngine:
         only (profiles are z-scored O(1) values; f16 keeps ~3 significant
         digits); parity evaluation stays f32.
         """
-        batches = list(batches)  # callers may pass a one-shot iterator
+        # `batches` may be a CALLABLE returning a fresh iterable per pass:
+        # the streaming contract for device-resident loaders. Materializing
+        # a DeviceCache epoch with list() holds EVERY gathered batch on
+        # device at once — at canonical width that is ~8 GB (512 batches x
+        # ~16 MB of patch/token conditioning) on top of the ~10 GB resident
+        # banks, a measured chip OOM in the full-train test block. A
+        # callable lets the per-call path stream one batch at a time
+        # (constant device memory); plain iterables keep the old list()
+        # behavior, and the scan path (which stacks the epoch by design)
+        # materializes either way.
+        batches_fn = batches if callable(batches) else None
+        if batches_fn is None:
+            batches = list(batches)  # callers may pass a one-shot iterator
+        elif scan:
+            batches = list(batches_fn())
+            batches_fn = None
         scan_fakes = None
         if scan and batches:
             b0 = batches[0]["genes"].shape[0]
@@ -804,7 +826,8 @@ class WGANGPEngine:
             fetch = np.asarray
         reals, fakes, diseases, sites = [], [], [], []
         for r in range(num_repeats):
-            for k_idx, batch in enumerate(batches):
+            for k_idx, batch in enumerate(batches_fn() if batches_fn
+                                          else batches):
                 if scan_fakes is not None and k_idx < scan_fakes.shape[0]:
                     fake = scan_fakes[k_idx, r]
                 else:

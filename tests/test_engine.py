@@ -93,6 +93,28 @@ def test_generate_samples_all(tiny_data, make_tiny_cfg):
     assert out["disease"].shape[0] == n
 
 
+def test_generate_samples_all_callable_batches(tiny_data, make_tiny_cfg):
+    """Passing a CALLABLE (fresh iterable per pass) must reproduce the
+    list-path output exactly — it is the streaming contract device-resident
+    loaders use so the per-call path never materializes a whole epoch of
+    gathered conditioning on device (a measured chip OOM at canonical
+    width), and under scan it materializes identically to a plain
+    iterable."""
+    cfg = make_tiny_cfg("benchmark")
+    eng = WGANGPEngine(cfg, steps_per_epoch=2)
+    loader = Batches(tiny_data, batch_size=8, seed=0, shuffle=False)
+    state = eng.init_state(0, next(iter(loader)))
+    key = jax.random.key(3)
+    a = eng.generate_samples_all(state, key, loader.epoch(0), num_repeats=2)
+    b = eng.generate_samples_all(state, key, lambda: loader.epoch(0),
+                                 num_repeats=2)
+    np.testing.assert_array_equal(a["fake"], b["fake"])
+    np.testing.assert_array_equal(a["real"], b["real"])
+    c = eng.generate_samples_all(state, key, lambda: loader.epoch(0),
+                                 num_repeats=2, scan=True)
+    np.testing.assert_allclose(a["fake"], c["fake"], atol=1e-5)
+
+
 def test_generate_samples_all_scan_matches_percall(tiny_data, make_tiny_cfg):
     """scan=True runs the full loader as ONE lax.map program with the
     condition embedding computed once per batch and shared across repeats.

@@ -182,7 +182,7 @@ def test_validation_max_cases_caps_train_regen(tmp_path, monkeypatch):
     orig = exp.engine.generate_samples_all
 
     def spy(state, key, batches, **kw):
-        batches = list(batches)
+        batches = list(batches() if callable(batches) else batches)
         seen.append(sum(b["genes"].shape[0] for b in batches))
         return orig(state, key, batches, **kw)
 
