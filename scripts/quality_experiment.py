@@ -93,9 +93,22 @@ def main():
         print(json.dumps(kw), flush=True)
 
     n = args.cases + args.val + args.test
-    data = structured_dataset(n, n_genes=args.genes, num_patches=args.patches,
-                              patch_dim=args.patch_dim, num_tokens=args.tokens,
-                              text_dim=args.text_dim)
+    # structured_dataset at canonical shapes is ~8 min of single-threaded
+    # RNG; cache the arrays on disk so a retried run skips straight to work
+    cache_path = (f"/tmp/qe_data_{n}x{args.genes}_{args.patches}x"
+                  f"{args.patch_dim}_{args.tokens}x{args.text_dim}.npz")
+    if os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+            data = {k: z[k] for k in z.files}
+        log(event="data_cache_hit", path=cache_path)
+    else:
+        data = structured_dataset(n, n_genes=args.genes,
+                                  num_patches=args.patches,
+                                  patch_dim=args.patch_dim,
+                                  num_tokens=args.tokens,
+                                  text_dim=args.text_dim)
+        if not args.smoke:
+            np.savez(cache_path, **data)
     mu = data["genes"][:args.cases].mean(0)
     sd = data["genes"][:args.cases].std(0) + 1e-8
     data["genes"] = ((data["genes"] - mu) / sd).astype(np.float32)
