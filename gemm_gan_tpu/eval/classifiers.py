@@ -91,11 +91,23 @@ class MLPClassifier:
         self.classes_ = None
 
     def fit(self, X, y):
-        X = np.asarray(X, np.float32)
+        """One scanned device program: the whole fit (epochs x batches) is a
+        single dispatch with X uploaded ONCE and batches gathered on device.
+
+        The previous per-minibatch jitted loop uploaded a fresh [bs, D]
+        slice per step; over a tunneled backend those unsynchronized
+        transfers backlog in host memory — at the canonical detection shape
+        (200 epochs x 64 batches x 9.6 MB ≈ 123 GB in flight) it OOM-killed
+        the host (observed on the canonical-width quality run) and would
+        have taken ~an hour of wire time. Batch composition, permutation
+        order, per-batch PRNG splits, and the trailing-partial-batch rule
+        (trains unless < 2 rows — BatchNorm needs 2, torch raises the same)
+        are IDENTICAL to the loop it replaces."""
         y = np.asarray(y)
         self.classes_, y_idx = np.unique(y, return_inverse=True)
         n_classes = len(self.classes_)
-        dims = (X.shape[1], *self.hidden, n_classes)
+        n, d = X.shape
+        dims = (d, *self.hidden, n_classes)
         key = jax.random.key(self.seed)
         key, init_key = jax.random.split(key)
         params = _init_params(init_key, dims)
@@ -106,8 +118,14 @@ class MLPClassifier:
 
         stats = _init_stats(dims)
 
-        @jax.jit
-        def step(params, opt_state, stats, xb, yb, key):
+        bs = min(self.batch_size, n)
+        nb = n // bs
+        rem = n - nb * bs
+        rng = np.random.RandomState(self.seed)
+        perms = np.stack([rng.permutation(n).astype(np.int32)
+                          for _ in range(self.epochs)])
+
+        def step_math(params, opt_state, stats, xb, yb, key):
             def loss_fn(p):
                 logits, new_stats = _forward(p, xb, True, key, dropout,
                                              stats=stats)
@@ -121,24 +139,35 @@ class MLPClassifier:
             return (optax.apply_updates(params, updates), opt_state,
                     jax.lax.stop_gradient(new_stats), loss)
 
-        n = X.shape[0]
-        bs = min(self.batch_size, n)
-        rng = np.random.RandomState(self.seed)
-        for _ in range(self.epochs):
-            perm = rng.permutation(n)
-            # the trailing partial batch trains too (reference DataLoader
-            # drop_last=False) — unless it is a single row, which BatchNorm
-            # cannot normalize in train mode (torch raises there as well)
-            for s in range(0, n, bs):
-                idx = perm[s:s + bs]
-                if len(idx) < 2:
-                    continue
+        # Xd/yd/perms are ARGUMENTS, not closure captures: captured device
+        # arrays serialize into the compiled program as constants and
+        # overflow remote-compile request limits (CLAUDE.md / DeviceCache).
+        @jax.jit
+        def fit_scan(params, opt_state, stats, key, Xd, yd, perms):
+            def take_step(carry, idx):
+                params, opt_state, stats, key = carry
                 key, sub = jax.random.split(key)
-                params, opt_state, stats, _ = step(
+                params, opt_state, stats, loss = step_math(
                     params, opt_state, stats,
-                    jnp.asarray(X[idx]), jnp.asarray(y_idx[idx]), sub)
-        self.params = params
-        self.stats = stats
+                    jnp.take(Xd, idx, axis=0), jnp.take(yd, idx, axis=0), sub)
+                return (params, opt_state, stats, key), loss
+
+            def epoch_body(carry, perm):
+                carry, _ = jax.lax.scan(
+                    take_step, carry, perm[:nb * bs].reshape(nb, bs))
+                if rem >= 2:
+                    carry, _ = take_step(carry, perm[nb * bs:])
+                return carry, 0.0
+
+            carry, _ = jax.lax.scan(epoch_body,
+                                    (params, opt_state, stats, key), perms)
+            return carry
+
+        Xd = jnp.asarray(X, jnp.float32)  # no-op for device-resident input
+        params, opt_state, stats, _ = fit_scan(
+            params, opt_state, stats, key, Xd, jnp.asarray(y_idx), perms)
+        self.params = jax.device_get(params)
+        self.stats = jax.device_get(stats)
         return self
 
     def predict_proba(self, X):

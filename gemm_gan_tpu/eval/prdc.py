@@ -17,17 +17,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _pairwise_l1(x, y, block: int = 2048):
-    """[N, M] L1 distances, row-blocked to bound memory."""
-    n = x.shape[0]
+@functools.partial(jax.jit, static_argnames=("block", "feat_block"))
+def _pairwise_l1(x, y, block: int = 512, feat_block: int = 256):
+    """[N, M] L1 distances, blocked on rows AND features to bound memory.
+
+    L1 has no matmul identity (unlike L2's x²+y²-2xy), so the broadcast
+    |x_i - y_j| tensor is unavoidable — but it must never materialize at
+    full width: [rows, M, D] at the canonical test-block shape (2048 x
+    4096 x 18,868) is 633 GB, and XLA:CPU was measured actually attempting
+    that allocation (TPU fuses it, but the bound should not depend on a
+    fusion heuristic). Features are accumulated in `feat_block` chunks, so
+    the worst-case intermediate is rows x M x feat_block (512 x 4096 x 256
+    x 4 B = 2 GB, transient). Zero-padding both operands' feature tails
+    contributes |0-0| = 0 — exact."""
+    n, d = x.shape
     nb = -(-n // block)
     npad = nb * block - n
-    xp = jnp.pad(x, ((0, npad), (0, 0)))
+    fb = -(-d // feat_block)
+    dpad = fb * feat_block - d
+    xp = jnp.pad(x, ((0, npad), (0, dpad)))
+    yp = jnp.pad(y, ((0, 0), (0, dpad)))
 
     def body(i):
         xb = jax.lax.dynamic_slice_in_dim(xp, i * block, block, 0)
-        return jnp.sum(jnp.abs(xb[:, None, :] - y[None, :, :]), axis=-1)
+
+        def feat(j, acc):
+            xc = jax.lax.dynamic_slice_in_dim(xb, j * feat_block, feat_block, 1)
+            yc = jax.lax.dynamic_slice_in_dim(yp, j * feat_block, feat_block, 1)
+            return acc + jnp.sum(jnp.abs(xc[:, None, :] - yc[None, :, :]),
+                                 axis=-1)
+
+        return jax.lax.fori_loop(
+            0, fb, feat, jnp.zeros((block, y.shape[0]), x.dtype))
 
     blocks = jax.lax.map(body, jnp.arange(nb))
     return blocks.reshape(nb * block, y.shape[0])[:n]
@@ -39,13 +60,13 @@ def _kth_value(d, k):
     return -neg_topk[..., k - 1]
 
 
-def compute_nearest_neighbour_distances(features, nearest_k: int, block: int = 2048):
+def compute_nearest_neighbour_distances(features, nearest_k: int, block: int = 512):
     d = _pairwise_l1(jnp.asarray(features), jnp.asarray(features), block)
     # reference uses get_kth_value(..., k=nearest_k + 1) including self-distance 0
     return _kth_value(d, nearest_k + 1)
 
 
-def compute_prdc(real_features, fake_features, nearest_k: int, block: int = 2048):
+def compute_prdc(real_features, fake_features, nearest_k: int, block: int = 512):
     real = jnp.asarray(real_features, jnp.float32)
     fake = jnp.asarray(fake_features, jnp.float32)
     # sets smaller than k+1 have no k-th neighbour (the reference's sklearn
