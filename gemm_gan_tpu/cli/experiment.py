@@ -698,17 +698,21 @@ class Experiment:
         return self._test_block(state, epoch=epoch)
 
     # -------------------------------------------------------------- post-hoc
-    def posthoc_utility(self) -> Dict:
+    def posthoc_utility(self, epoch: Optional[int] = None) -> Dict:
         """UtilityEvaluator + primary-site variant over the dumps
-        (parity: :1075-1083)."""
+        (parity: :1075-1083). `epoch` filters to one epoch's dump dirs —
+        pass the best epoch (best.json) to score only the
+        `evaluate(which="best")` artifacts when a run dir holds dumps from
+        several checkpoints."""
         if not self.is_main:
             return {}
+        pattern = "test_*" if epoch is None else f"test_*_epoch_{epoch}"
         out = {}
-        ev = UtilityEvaluator(self.out_dir)
+        ev = UtilityEvaluator(self.out_dir, pattern=pattern)
         if ev.results_dirs:
             ev.evaluate()
             out["disease"] = ev.report()
-        evp = UtilityEvaluatorPrimary(self.out_dir)
+        evp = UtilityEvaluatorPrimary(self.out_dir, pattern=pattern)
         try:
             if evp.results_dirs:
                 evp.evaluate()
@@ -717,15 +721,17 @@ class Experiment:
             pass
         return out
 
-    def posthoc_privacy(self) -> Dict:
-        """DCR/NNDR over each test_* dir (parity: :1096-1110)."""
+    def posthoc_privacy(self, epoch: Optional[int] = None) -> Dict:
+        """DCR/NNDR over each test_* dir (parity: :1096-1110); `epoch`
+        filters like `posthoc_utility`."""
         if not self.is_main:
             return {}
         from glob import glob
 
+        pattern = "test_*" if epoch is None else f"test_*_epoch_{epoch}"
         train_real = self.splits["train"]["genes"]
         results = {"dcr": [], "nndr": []}
-        for d in sorted(glob(os.path.join(self.out_dir, "test_*"))):
+        for d in sorted(glob(os.path.join(self.out_dir, pattern))):
             gen = np.load(os.path.join(d, "data_gen.npy"))
             test_real = np.load(os.path.join(d, "test_real.npy"))
             results["dcr"].append(dcr(train_real, gen, test_real))

@@ -171,7 +171,9 @@ class MLPClassifier:
         return self
 
     def predict_proba(self, X):
-        X = jnp.asarray(np.asarray(X, np.float32))
+        # jnp.asarray directly: an np.asarray detour would FETCH a
+        # device-resident X to host and re-upload it
+        X = jnp.asarray(X, jnp.float32)
         logits, _ = _forward(self.params, X, False, stats=self.stats)
         return np.asarray(jax.nn.softmax(logits, axis=-1))
 

@@ -110,8 +110,12 @@ def class_mean_alignment(fake, fake_y, real_te, real_te_y, n_perm: int = 8):
 class UtilityEvaluator:
     label_infix = ""
 
-    def __init__(self, results_path: str, mlp_epochs: int = 50):
-        self.results_dirs = sorted(glob(os.path.join(results_path, "test_*")))
+    def __init__(self, results_path: str, mlp_epochs: int = 50,
+                 pattern: str = "test_*"):
+        """`pattern` narrows the run dirs (e.g. `test_*_epoch_10` to score
+        only the best-checkpoint dumps when a run dir holds both
+        `evaluate(which="best")` and final-epoch artifacts)."""
+        self.results_dirs = sorted(glob(os.path.join(results_path, pattern)))
         self._make_classifiers = lambda: {
             "MLP": MLPClassifier(hidden=(100,), epochs=mlp_epochs, seed=42),
             "RandomForest": _rf(),  # shared with eval.detection (one fallback gate)

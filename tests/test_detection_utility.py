@@ -78,6 +78,31 @@ def test_utility_evaluator_roundtrip(tmp_path):
     rep = evp.report()
     assert rep["TSTR"]["MLP"]["F1"][0] > 0.5
 
+    # pattern filter: score only one epoch's dump dirs (a run dir can hold
+    # both evaluate(which="best") and final-epoch artifacts)
+    ev5 = UtilityEvaluator(str(tmp_path), pattern="test_*_epoch_5")
+    assert len(ev5.results_dirs) == 2
+    ev_none = UtilityEvaluator(str(tmp_path), pattern="test_*_epoch_9")
+    assert ev_none.results_dirs == []
+
+
+def test_mlp_classifier_device_input_matches_host(rng):
+    """`classifiers_harness` uploads the feature matrices once and hands the
+    JAX classifiers device-resident X; fit/predict on a device array must
+    reproduce the host-numpy path exactly (same scanned program, same
+    seeds)."""
+    import jax.numpy as jnp
+
+    from gemm_gan_tpu.eval.classifiers import MLPClassifier
+
+    X = rng.randn(64, 12).astype(np.float32)
+    y = (X[:, 0] > 0).astype(np.int64)
+    a = MLPClassifier(hidden=(16,), epochs=5, seed=3).fit(X, y)
+    b = MLPClassifier(hidden=(16,), epochs=5, seed=3).fit(jnp.asarray(X), y)
+    np.testing.assert_array_equal(a.predict(X), b.predict(jnp.asarray(X)))
+    np.testing.assert_allclose(a.predict_proba(X), b.predict_proba(X),
+                               rtol=1e-6, atol=1e-7)
+
 
 def test_heatmap_evaluator(rng, tmp_path):
     from gemm_gan_tpu.eval.heatmap import CorrelationEvaluator
