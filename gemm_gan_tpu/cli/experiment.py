@@ -554,8 +554,13 @@ class Experiment:
         step = save_state(os.path.join(self.out_dir, "ckpt_best"),
                           self._state_for_save(state))
         if self.is_main:
-            self._best = {"score": float(score), "epoch": int(epoch),
-                          "step": int(step)}
+            # "epoch" = epochs COMPLETED at this checkpoint (epoch index +
+            # 1) — the same number evaluate() derives from the restored
+            # step and uses in its test_*_epoch_{E} dump-dir names, so
+            # best["epoch"] feeds posthoc_utility(epoch=...) directly;
+            # "eval_epoch" keeps the 0-indexed val_metrics_history index
+            self._best = {"score": float(score), "epoch": int(epoch) + 1,
+                          "eval_epoch": int(epoch), "step": int(step)}
             with open(os.path.join(self.out_dir, "best.json"), "w") as f:
                 json.dump(self._best, f, indent=2)
 

@@ -153,8 +153,13 @@ class MLPClassifier:
                 return (params, opt_state, stats, key), loss
 
             def epoch_body(carry, perm):
-                carry, _ = jax.lax.scan(
-                    take_step, carry, perm[:nb * bs].reshape(nb, bs))
+                # every batch below 2 rows is SKIPPED, exactly like the
+                # loop this replaces (BatchNorm cannot normalize one row;
+                # torch raises there too) — bs can only be < 2 when
+                # batch_size=1 or n=1
+                if bs >= 2:
+                    carry, _ = jax.lax.scan(
+                        take_step, carry, perm[:nb * bs].reshape(nb, bs))
                 if rem >= 2:
                     carry, _ = take_step(carry, perm[nb * bs:])
                 return carry, 0.0

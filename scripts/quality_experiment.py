@@ -94,8 +94,16 @@ def main():
 
     n = args.cases + args.val + args.test
     # structured_dataset at canonical shapes is ~8 min of single-threaded
-    # RNG; cache the arrays on disk so a retried run skips straight to work
-    cache_path = (f"/tmp/qe_data_{n}x{args.genes}_{args.patches}x"
+    # RNG; cache the arrays on disk so a retried run skips straight to
+    # work. The key includes a hash of the generator's SOURCE (plus its
+    # default seed baked into the signature) so a stale cache from an older
+    # generator version cannot silently feed a quality verdict.
+    import hashlib
+    import inspect
+
+    gen_tag = hashlib.md5(
+        inspect.getsource(structured_dataset).encode()).hexdigest()[:8]
+    cache_path = (f"/tmp/qe_data_{gen_tag}_{n}x{args.genes}_{args.patches}x"
                   f"{args.patch_dim}_{args.tokens}x{args.text_dim}.npz")
     if os.path.exists(cache_path):
         with np.load(cache_path) as z:
@@ -179,7 +187,11 @@ def main():
 
     util = exp.posthoc_utility()
     priv = exp.posthoc_privacy()
-    y = splits["test"]["disease"]
+    # chance baseline = TRAIN-split majority rate: UtilityEvaluator's TSTR
+    # accuracy is scored on the regenerated train side (predict(data_real)
+    # vs train_labels_real — utility.py), so the train distribution is the
+    # one a condition-blind classifier would match
+    y = splits["train"]["disease"]
     chance = float(np.bincount(y).max() / len(y))  # majority-class rate
     tstr = {clf: util["disease"]["TSTR"][clf]["Accuracy"]
             for clf in util.get("disease", {}).get("TSTR", {})}

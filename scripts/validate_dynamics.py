@@ -171,7 +171,16 @@ def main():
             from gemm_gan_tpu.eval.utility import (class_mean_alignment,
                                                    tstr_transfer_accuracy)
 
-            real_h, fake_h = np.asarray(real), np.asarray(fake)
+            def fetch_chunked(a, rows: int = 256):
+                """Per-chunk device->host fetch: a monolithic device_get of
+                a big array moves ~2.7x slower over the tunnel than chunked
+                (CLAUDE.md); numpy inputs pass through untouched."""
+                if isinstance(a, np.ndarray):
+                    return a
+                return np.concatenate([np.asarray(a[i:i + rows])
+                                       for i in range(0, a.shape[0], rows)])
+
+            real_h, fake_h = fetch_chunked(real), fetch_chunked(fake)
             y = out["disease"]
             tstr = tstr_transfer_accuracy(fake_h[:h_real], y[:h_real],
                                           real_h[h_real:], y[h_real:])

@@ -141,7 +141,10 @@ def test_best_checkpoint_selection(tmp_path, monkeypatch):
 
     with open(os.path.join(exp.out_dir, "best.json")) as f:
         best = json.load(f)
-    assert best == {"score": 5.0, "epoch": 1, "step": 2 * spe}
+    # "epoch" = epochs completed = the number evaluate() puts in the
+    # best-checkpoint dump-dir names, so it feeds posthoc_utility(epoch=...)
+    assert best == {"score": 5.0, "epoch": 2, "eval_epoch": 1,
+                    "step": 2 * spe}
     # ckpt_best's newest snapshot IS the peak state (saves happen only on
     # strict improvement, so eval 2's lower score did not overwrite it)
     best_dir = os.path.join(exp.out_dir, "ckpt_best")
@@ -156,6 +159,11 @@ def test_best_checkpoint_selection(tmp_path, monkeypatch):
     res_best = exp.evaluate(which="best")
     assert np.isfinite(res_best["gamma_mean"])
     assert glob.glob(os.path.join(exp.out_dir, "test_*_epoch_2"))
+    # best["epoch"] round-trips into the posthoc epoch filter
+    from gemm_gan_tpu.eval.utility import UtilityEvaluator
+
+    ev = UtilityEvaluator(exp.out_dir, pattern=f"test_*_epoch_{best['epoch']}")
+    assert len(ev.results_dirs) == 1
     res_last = exp.evaluate()
     assert np.isfinite(res_last["gamma_mean"])
     assert glob.glob(os.path.join(exp.out_dir, "test_*_epoch_4"))
