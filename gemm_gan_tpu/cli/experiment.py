@@ -760,7 +760,8 @@ class Experiment:
             # for the engine fetch path and does not apply here
             return self._generate_all(state, key, loader, 0,
                                       num_repeats=num_repeats)
-        return self.engine.generate_samples_all(state, key, loader.epoch(0),
+        return self.engine.generate_samples_all(state, key,
+                                                lambda: loader.epoch(0),
                                                 num_repeats=num_repeats,
                                                 scan=ev.scan_sampling,
                                                 host_dtype=host_dtype)
