@@ -186,6 +186,50 @@ def test_conditioning_steers_generation_fast_gate():
     assert aligned1 < 0.7 * shuffled1, (aligned1, shuffled1)
 
 
+def test_flagship_conditioning_steers_generation_fast_gate():
+    """Default-path conditional-fidelity gate for the FLAGSHIP fusion (FiLM
+    + patch transformer + bidirectional CLS cross-attention) at tiny dims:
+    the label-oracle gate above proves the label pathway steers; this one
+    proves the actual MULTIMODAL pathway does — the disease label is never
+    an input, it is only recoverable from the class-correlated token/patch
+    embeddings, so above-chance TSTR requires the fusion stack to carry
+    condition information into generation. Calibrated 2026-08-21 (512
+    cases, 10 epochs, data seeds 7 and 11): TSTR 1.000 / 1.000, aligned/
+    shuffled ratio 0.537 / 0.503. ~30-40 s warm."""
+    n_tr, n_te = 512, 256
+    data = structured_dataset(n_tr + n_te, n_genes=64, rank=8, n_classes=4,
+                              n_sites=3, num_patches=4, patch_dim=8,
+                              num_tokens=4, text_dim=8, seed=7)
+    g = data["genes"]
+    mu, sd = g[:n_tr].mean(0), g[:n_tr].std(0) + 1e-8
+    std = ((g - mu) / sd).astype(np.float32)
+    cond_keys = ("tokens", "token_mask", "patches", "patch_mask", "disease")
+    tr = {"genes": std[:n_tr], **{k: data[k][:n_tr] for k in cond_keys}}
+    te_genes, te_y = std[n_tr:], data["disease"][n_tr:]
+
+    cfg = variant_config("film_cross_attention", n_genes=64,
+                         fusion_kw=dict(cond_dim=32, text_dim=8, patch_dim=8,
+                                        ff_dim=64, num_heads=2, num_layers=1,
+                                        use_pallas=False))
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, batch_size=32, drift_epsilon=1e-3, critic_scan=True))
+    loader = Batches(tr, batch_size=32, seed=0)
+    eng = WGANGPEngine(cfg, steps_per_epoch=loader.n_full_batches)
+    state = eng.init_state(0, next(iter(loader)))
+    for e in range(10):
+        state, _ = eng.step_many(state, loader.stacked_epoch(e))
+    out = eng.generate_samples_all(state, jax.random.key(123),
+                                   Batches(tr, 32, seed=0,
+                                           shuffle=False).epoch(0))
+    tstr = tstr_transfer_accuracy(out["fake"], out["disease"],
+                                  te_genes, te_y)
+    aligned, shuffled = class_mean_alignment(out["fake"], out["disease"],
+                                             te_genes, te_y)
+    # chance is 0.25; calibrated 1.000 — wide margin
+    assert tstr > 0.7, tstr
+    assert aligned < 0.75 * shuffled, (aligned, shuffled)
+
+
 @pytest.mark.slow
 def test_training_fools_detection_and_learns_correlation_structure():
     """Strict gate at the original calibration budget (2048 cases, 60 ep)."""
