@@ -22,6 +22,11 @@ def build_parser():
                         "dir's data_real.npy as the privacy (dcr/nndr) real "
                         "reference")
     p.add_argument("--skip_utility", action="store_true")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="score only test_*_epoch_<E> dirs — e.g. the best "
+                        "checkpoint's epoch from best.json when a run dir "
+                        "holds dumps from several checkpoints (fit final + "
+                        "evaluate --evaluate_which best)")
     p.add_argument("--plots", action="store_true",
                    help="write the reference's post-hoc figures per test_* "
                         "dir (<dir>/figures/): real-vs-gen embedding panels, "
@@ -45,13 +50,15 @@ def main(argv=None):
     from gemm_gan_tpu.eval.privacy import dcr, nndr
     from gemm_gan_tpu.eval.utility import UtilityEvaluator, UtilityEvaluatorPrimary
 
+    pattern = ("test_*" if args.epoch is None
+               else f"test_*_epoch_{args.epoch}")
     out = {}
     if not args.skip_utility:
-        ev = UtilityEvaluator(args.results_path)
+        ev = UtilityEvaluator(args.results_path, pattern=pattern)
         if ev.results_dirs:
             ev.evaluate()
             out["utility_disease"] = ev.report()
-        evp = UtilityEvaluatorPrimary(args.results_path)
+        evp = UtilityEvaluatorPrimary(args.results_path, pattern=pattern)
         try:
             if evp.results_dirs:
                 evp.evaluate()
@@ -60,7 +67,7 @@ def main(argv=None):
             pass
 
     per_run = []
-    for d in sorted(glob(os.path.join(args.results_path, "test_*"))):
+    for d in sorted(glob(os.path.join(args.results_path, pattern))):
         test_real = np.load(os.path.join(d, "test_real.npy"))
         test_gen = np.load(os.path.join(d, "test_gen.npy"))
         rec = {"dir": os.path.basename(d),
