@@ -198,37 +198,14 @@ def jax_steps_per_sec(scan_len: int = 100, n_calls: int = 4,
     return scan_len / best                         # steady state
 
 
-def wait_for_backend(attempts: int = 6, probe_timeout: int = 90,
-                     sleep_s: int = 120) -> bool:
-    """Bounded probe for the (tunneled) accelerator backend.
+def wait_for_backend(**kw) -> bool:
+    """Bounded probe for the (tunneled) accelerator backend — shared
+    helper (`gemm_gan_tpu.utils.backend`); on failure the caller exits
+    nonzero with a clear message instead of hanging (no JSON is printed —
+    a missing record is honest, a fabricated number is not)."""
+    from gemm_gan_tpu.utils.backend import wait_for_backend as probe
 
-    `jax.devices()` HANGS indefinitely while the axon tunnel is down
-    (observed outage of several hours, CLAUDE.md), which would wedge this
-    benchmark. Probe in a subprocess with a timeout, retrying for ~12 min;
-    on failure the caller exits nonzero with a clear message instead of
-    hanging (no JSON is printed — a missing record is honest, a fabricated
-    number is not).
-    """
-    import subprocess
-    import sys
-
-    for i in range(attempts):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; assert len(jax.devices()) >= 1"],
-                timeout=probe_timeout, capture_output=True)
-            if r.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        more = i < attempts - 1
-        print(f"backend probe {i + 1}/{attempts} failed"
-              + (f"; retrying in {sleep_s}s" if more else ""),
-              file=sys.stderr, flush=True)
-        if more:
-            time.sleep(sleep_s)
-    return False
+    return probe(**kw)
 
 
 def main():

@@ -77,6 +77,13 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # bounded probe: jax.devices() hangs while the tunnel is down
+        from gemm_gan_tpu.utils.backend import wait_for_backend
+
+        if not wait_for_backend():
+            sys.exit("quality_experiment: accelerator backend unavailable "
+                     "(tunnel down?); refusing to hang")
 
     from gemm_gan_tpu.cli.experiment import Experiment, val_score
     from gemm_gan_tpu.config import variant_config
