@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import glob
 import json
 import os
 import shutil
@@ -184,16 +183,15 @@ def main():
                       "score": round(float(val_score(r)), 4)}
                      for r in exp.val_metrics_history])
 
-    # keep the posthoc report pure best-checkpoint evidence: capture fit's
-    # (final-checkpoint) summary above, then drop its dump dirs before the
-    # best-checkpoint test block regenerates them at the peak epoch
-    for d in glob.glob(os.path.join(exp.out_dir, "test_*_epoch_*")):
-        shutil.rmtree(d)
     best_results = exp.evaluate(which="best")
     log(event="evaluate_best_done", gamma_best=best_results.get("gamma_mean"))
 
-    util = exp.posthoc_utility()
-    priv = exp.posthoc_privacy()
+    # posthoc over the BEST checkpoint's dump dirs only (the run dir also
+    # holds fit's final-epoch dumps — both are kept; the epoch filter keeps
+    # the report pure best-checkpoint evidence)
+    best_epoch = best["epoch"] if best else None
+    util = exp.posthoc_utility(epoch=best_epoch)
+    priv = exp.posthoc_privacy(epoch=best_epoch)
     # chance baseline = TRAIN-split majority rate: UtilityEvaluator's TSTR
     # accuracy is scored on the regenerated train side (predict(data_real)
     # vs train_labels_real — utility.py), so the train distribution is the
