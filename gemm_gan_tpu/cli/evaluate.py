@@ -22,11 +22,14 @@ def build_parser():
                         "dir's data_real.npy as the privacy (dcr/nndr) real "
                         "reference")
     p.add_argument("--skip_utility", action="store_true")
-    p.add_argument("--epoch", type=int, default=None,
-                   help="score only test_*_epoch_<E> dirs — e.g. the best "
-                        "checkpoint's epoch from best.json when a run dir "
-                        "holds dumps from several checkpoints (fit final + "
-                        "evaluate --evaluate_which best)")
+    p.add_argument("--epoch", default="auto",
+                   help="score only test_*_epoch_<E> dirs. Default 'auto': "
+                        "when the run dir has a best.json (gate-best "
+                        "tracking), its epoch is used automatically, so the "
+                        "report is pure best-checkpoint evidence without "
+                        "reading best.json by hand; otherwise all test_* "
+                        "dirs. Pass an integer to pick an epoch, or 'all' "
+                        "to force every dump dir")
     p.add_argument("--plots", action="store_true",
                    help="write the reference's post-hoc figures per test_* "
                         "dir (<dir>/figures/): real-vs-gen embedding panels, "
@@ -50,8 +53,23 @@ def main(argv=None):
     from gemm_gan_tpu.eval.privacy import dcr, nndr
     from gemm_gan_tpu.eval.utility import UtilityEvaluator, UtilityEvaluatorPrimary
 
-    pattern = ("test_*" if args.epoch is None
-               else f"test_*_epoch_{args.epoch}")
+    epoch = args.epoch
+    if epoch == "auto":
+        # auto-wire best.json (VERDICT r4 #7): a run dir with gate-best
+        # tracking holds dumps from several checkpoints (fit's final epoch +
+        # evaluate --evaluate_which best); default to the best epoch
+        best_path = os.path.join(args.results_path, "best.json")
+        epoch = None
+        if os.path.exists(best_path):
+            with open(best_path) as f:
+                epoch = json.load(f)["epoch"]
+            print(f"evaluate: best.json found — scoring epoch {epoch} dumps "
+                  "(pass --epoch all for every dump dir)")
+    elif epoch == "all":
+        epoch = None
+    else:
+        epoch = int(epoch)
+    pattern = "test_*" if epoch is None else f"test_*_epoch_{epoch}"
     out = {}
     if not args.skip_utility:
         ev = UtilityEvaluator(args.results_path, pattern=pattern)

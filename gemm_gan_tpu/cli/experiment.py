@@ -72,7 +72,12 @@ def val_score(rec: Dict) -> float:
     highest. Works for both validation modes: the host battery
     (`detection` + `compute_evaluation_metrics`) and the on-device proxy
     (kNN detection + PRDC) record the same keys."""
-    det = next(iter(rec["detection"].values()))["accuracy"]
+    # explicit detector choice (ADVICE r4): "LR" in host-battery mode,
+    # "KNN" in the on-device-proxy mode — never dict insertion order, so
+    # reordering the classifier suite cannot change checkpoint selection
+    det_d = rec["detection"]
+    det = (det_d.get("LR") or det_d.get("KNN")
+           or next(iter(det_d.values())))["accuracy"]
     m = rec["metrics"]
     return float((1.0 - det) + m["precision"] + m["recall"]
                  + m.get("coverage", 0.0))
@@ -390,6 +395,20 @@ class Experiment:
 
         start_epoch = 0
         ckpt_dir = os.path.join(self.out_dir, "ckpt")
+        if not resume and self.is_main:
+            # a FRESH fit into a previously-used out_dir must not inherit
+            # the old run's gate-best state: clear ckpt_best/ + best.json so
+            # this run's best can never lose to a stale checkpoint
+            # (ADVICE r4). Saves are collective but deletion here races
+            # nothing — no rank has saved yet.
+            import shutil
+
+            best_ckpt = os.path.join(self.out_dir, "ckpt_best")
+            if os.path.isdir(best_ckpt):
+                shutil.rmtree(best_ckpt)
+            best_json = os.path.join(self.out_dir, "best.json")
+            if os.path.exists(best_json):
+                os.remove(best_json)
         if resume:
             from gemm_gan_tpu.train.checkpoint import resume_or_fresh
 
@@ -464,7 +483,12 @@ class Experiment:
                 return lambda: loader.epoch(epoch)
             import itertools
 
-            n_b = max(1, ev.validation_max_cases // self.cfg.train.batch_size)
+            # the cap divides by the LOADER's own batch size (ADVICE r4):
+            # today every loader here is built with train.batch_size, but a
+            # future gen-loader batch-size change must not silently scale
+            # the regenerated case count
+            b = getattr(loader, "batch_size", self.cfg.train.batch_size)
+            n_b = max(1, ev.validation_max_cases // b)
             return lambda: itertools.islice(loader.epoch(epoch), n_b)
 
         if self.nproc > 1:
@@ -681,19 +705,18 @@ class Experiment:
         Multi-process: restore is collective (every rank calls with the
         global-array template so Orbax re-places shards); the returned
         summary is rank-0-only (`{}` elsewhere)."""
-        if which not in ("last", "best"):
-            raise ValueError(f"which must be 'last' or 'best', got {which!r}")
-        ckpt_dir = os.path.join(self.out_dir,
-                                "ckpt" if which == "last" else "ckpt_best")
-        if which == "best" and not os.path.isdir(ckpt_dir):
-            raise FileNotFoundError(
-                f"no best checkpoint under {ckpt_dir}: best tracking needs "
-                "periodic validation during fit (train.freq_compute_test < "
-                "train.epochs); rerun fit or use which='last'")
+        from gemm_gan_tpu.train.checkpoint import resolve_ckpt_dir
+
+        # which="best" resolves to ckpt_best/ AND pins the restore step to
+        # best.json's record — latest_step(ckpt_best) could otherwise prefer
+        # a stale higher-step checkpoint left by a previous run in the same
+        # out_dir (ADVICE r4)
+        ckpt_dir, step = resolve_ckpt_dir(os.path.join(self.out_dir, "ckpt"),
+                                          which)
         sample_batch = next(iter(self.loaders["train"].epoch(0)))
         template = self._state_for_save(
             self.engine.init_state(self.cfg.train.seed, sample_batch))
-        state = restore_state(ckpt_dir, template)
+        state = restore_state(ckpt_dir, template, step=step)
         # same steps-per-epoch accounting as fit()/resume_or_fresh: the scan
         # path counts full batches per epoch, the per-batch path counts all
         train = self.loaders["train"]

@@ -19,6 +19,11 @@ def build_parser():
     p.add_argument("--ckpt_dir", required=True,
                    help="checkpoint dir written by cli.train (the run dir's "
                         "config.json supplies the model shapes)")
+    p.add_argument("--which", default="last", choices=["last", "best"],
+                   help="'best' exports the gate-best validation checkpoint "
+                        "(sibling ckpt_best/ + best.json of the run dir) "
+                        "instead of the newest step — mirrors cli.train "
+                        "--evaluate_which")
     p.add_argument("--out", required=True, help="artifact output directory")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering targets (tpu,cpu,cuda); "
@@ -69,7 +74,7 @@ def main(argv=None):
 
     from gemm_gan_tpu.config import load_config
     from gemm_gan_tpu.serving import export_generator
-    from gemm_gan_tpu.train.checkpoint import restore_state
+    from gemm_gan_tpu.train.checkpoint import resolve_ckpt_dir, restore_state
     from gemm_gan_tpu.train.wgan import WGANGPEngine
 
     pallas = {"auto": False, "on": True, "off": False}[args.use_pallas]
@@ -87,6 +92,7 @@ def main(argv=None):
             f"no config.json next to {args.ckpt_dir} — export needs the "
             "self-describing run dir cli.train writes")
     cfg = load_config(cfg_path)
+    ckpt_dir, ckpt_step = resolve_ckpt_dir(args.ckpt_dir, args.which)
     # use_pallas switches the attention computation, not the param tree, so
     # the checkpoint restores identically either way (ops/attention.py)
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
@@ -100,14 +106,14 @@ def main(argv=None):
 
         engine = VAEEngine(cfg)
         template = jax.device_get(engine.init_state(args.seed, batch))
-        state = restore_state(args.ckpt_dir, template)
+        state = restore_state(ckpt_dir, template, step=ckpt_step)
         artifact = export_vae_decoder(engine, state, batch,
                                       platforms=platforms,
                                       batch_size=batch_size)
     else:
         engine = WGANGPEngine(cfg)
         template = jax.device_get(engine.init_state(args.seed, batch))
-        state = restore_state(args.ckpt_dir, template)
+        state = restore_state(ckpt_dir, template, step=ckpt_step)
         artifact = export_generator(
             engine, state, batch, platforms=platforms, batch_size=batch_size,
             dynamic_seq=not pallas, use_ema=args.use_ema or None)

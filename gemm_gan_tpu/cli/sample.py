@@ -16,6 +16,12 @@ def build_parser():
     p.add_argument("--variant", default="vanilla")
     p.add_argument("--data_dir", required=True)
     p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--which", default="last", choices=["last", "best"],
+                   help="'best' restores the gate-best validation checkpoint "
+                        "(sibling ckpt_best/ + best.json of the run dir) "
+                        "instead of the newest step — mirrors cli.train "
+                        "--evaluate_which; at canonical width the measured "
+                        "drift makes 'best' the model a user wants")
     p.add_argument("--out", default="generated.npy")
     p.add_argument("--num_repeats", type=int, default=1)
     p.add_argument("--balanced", action="store_true")
@@ -86,7 +92,10 @@ def main(argv=None):
     exp = Experiment(cfg, splits)
     template = jax.device_get(exp.engine.init_state(
         args.seed, next(iter(exp.loaders["train"].epoch(0)))))
-    state = restore_state(args.ckpt_dir, template)
+    from gemm_gan_tpu.train.checkpoint import resolve_ckpt_dir
+
+    ckpt_dir, step = resolve_ckpt_dir(args.ckpt_dir, args.which)
+    state = restore_state(ckpt_dir, template, step=step)
 
     key = jax.random.key(args.seed)
     host_dtype = np.float16 if args.host_dtype == "float16" else None

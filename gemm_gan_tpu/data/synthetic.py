@@ -14,6 +14,25 @@ from typing import Dict
 import numpy as np
 
 
+def _randn_f32(rng, n: int, *dims: int) -> np.ndarray:
+    """`rng.randn(n, *dims).astype(f32)` drawn in case-chunks.
+
+    Value-identical to the single call (legacy `RandomState` keeps its
+    cached-gaussian state across calls, so chunked draws consume the same
+    stream) but never materializes the full f64 temporary — at whole-slide
+    shapes (e.g. 736 x 4096 x 1024) the one-shot draw is a ~25 GB f64
+    spike; chunked it stays under ~1 GB."""
+    per_case = int(np.prod(dims)) if dims else 1
+    chunk = max(1, int(1.2e8 // max(per_case, 1)))
+    if chunk >= n:
+        return rng.randn(n, *dims).astype(np.float32)
+    out = np.empty((n,) + tuple(dims), np.float32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        out[s:e] = rng.randn(e - s, *dims)
+    return out
+
+
 def synthetic_dataset(n: int = 256, n_genes: int = 64, n_classes: int = 4,
                       n_sites: int = 3, num_patches: int = 16, patch_dim: int = 32,
                       num_tokens: int = 12, text_dim: int = 24,
@@ -73,12 +92,14 @@ def structured_dataset(n: int, n_genes: int = 2000, rank: int = 24,
              + 0.5 * rng.randn(n, n_genes).astype(np.float32))
 
     text_centers = rng.randn(n_classes, text_dim).astype(np.float32)
-    tokens = (text_centers[disease][:, None, :]
-              + 0.3 * rng.randn(n, num_tokens, text_dim)).astype(np.float32)
+    tokens = _randn_f32(rng, n, num_tokens, text_dim)
+    tokens *= np.float32(0.3)
+    tokens += text_centers[disease][:, None, :]
     token_mask = np.ones((n, num_tokens), dtype=bool)
     patch_centers = rng.randn(n_classes, patch_dim).astype(np.float32)
-    patches = (patch_centers[disease][:, None, :]
-               + 0.5 * rng.randn(n, num_patches, patch_dim)).astype(np.float32)
+    patches = _randn_f32(rng, n, num_patches, patch_dim)
+    patches *= np.float32(0.5)
+    patches += patch_centers[disease][:, None, :]
     patch_mask = np.ones((n, num_patches), dtype=bool)
     return {"genes": genes, "tokens": tokens, "token_mask": token_mask,
             "patches": patches, "patch_mask": patch_mask,

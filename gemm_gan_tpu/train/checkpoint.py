@@ -52,6 +52,39 @@ def restore_state(path: str, target: Any, step: Optional[int] = None) -> Any:
     return restored
 
 
+def resolve_ckpt_dir(ckpt_dir: str, which: str = "last"):
+    """Map (a run's checkpoint dir, which in {'last','best'}) -> (dir, step).
+
+    `which="best"` swaps the directory for the sibling `ckpt_best/` (the
+    gate-best validation checkpoint `Experiment._maybe_save_best` tracks)
+    and pins the restore step to the one `best.json` records. Pinning
+    matters: a fresh fit into a previously-used out_dir can leave a stale
+    higher-step checkpoint in `ckpt_best/`, and `latest_step` would
+    silently prefer it over the new run's best (ADVICE r4). The reference
+    has no checkpoint selection at all — it restores whatever final
+    state_dict exists (/root/reference/src/conditional_gan_concat.py:869-877).
+    """
+    if which not in ("last", "best"):
+        raise ValueError(f"which must be 'last' or 'best', got {which!r}")
+    if which == "last":
+        return ckpt_dir, None
+    run_dir = os.path.dirname(os.path.normpath(ckpt_dir))
+    best_dir = os.path.join(run_dir, "ckpt_best")
+    if not os.path.isdir(best_dir):
+        raise FileNotFoundError(
+            f"no best checkpoint under {best_dir}: gate-best tracking needs "
+            "periodic validation during fit (train.freq_compute_test < "
+            "train.epochs); use which='last'")
+    step = None
+    best_json = os.path.join(run_dir, "best.json")
+    if os.path.exists(best_json):
+        import json
+
+        with open(best_json) as f:
+            step = json.load(f).get("step")
+    return best_dir, step
+
+
 def latest_step(path: str) -> Optional[int]:
     if not os.path.isdir(path):
         return None

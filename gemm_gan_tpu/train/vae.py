@@ -37,6 +37,7 @@ class VAEEngine:
         self._step = None
         self._step_many = None
         self._sample = None
+        self._eval_loss = None
 
     def init_state(self, seed: int, sample_batch: Dict[str, Any]) -> VAETrainState:
         key = jax.random.key(seed)
@@ -124,6 +125,36 @@ class VAEEngine:
                     state = maybe
         self.history = history
         return state
+
+    def eval_loss(self, state, key, batch) -> Dict[str, float]:
+        """β-ELBO of one batch WITHOUT a gradient/update — the validation
+        criterion for gate-best checkpoint selection (VERDICT r4 #6). Same
+        loss the training step optimizes (reference objective
+        /root/reference/src/vae/cvae.py:330-346); the reparameterization
+        noise comes from the caller's `key` so a validation pass is
+        deterministic given (state, key)."""
+        if getattr(self, "_eval_loss", None) is None:
+            model = self.model
+            beta = self.cfg.train.vae_beta
+            recon = self.cfg.model.vae_recon
+            conditional = self.conditional
+
+            @jax.jit
+            def fn(params, key, batch):
+                x = batch["genes"]
+                if conditional:
+                    out, mu, logvar = model.apply(
+                        {"params": params}, x, batch["disease"], batch["site"],
+                        key)
+                else:
+                    out, mu, logvar = model.apply({"params": params}, x, key)
+                loss, (r, kl) = elbo_loss(x, out, mu, logvar, beta, recon)
+                return {"loss": loss, "recon": r, "kl": kl}
+
+            self._eval_loss = fn
+        out = self._eval_loss(state.params, key,
+                              {k: jnp.asarray(v) for k, v in batch.items()})
+        return {k: float(v) for k, v in jax.device_get(out).items()}
 
     def sample(self, state, key, num: Optional[int] = None,
                disease=None, site=None) -> np.ndarray:

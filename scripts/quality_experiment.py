@@ -60,6 +60,15 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="library default f32 = reference-parity numerics")
+    ap.add_argument("--store-dtype", default=None,
+                    choices=[None, "bfloat16"],
+                    help="DeviceCache embedding bank storage dtype "
+                         "(batches still leave the cache f32); bfloat16 "
+                         "halves HBM residency — required at whole-slide "
+                         "patch counts on one 16 GB chip")
+    ap.add_argument("--remat", action="store_true",
+                    help="fusion.remat_layers: remat each patch-transformer "
+                         "layer (whole-slide activation-memory fallback)")
     ap.add_argument("--out", default="/tmp/quality_experiment")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (env prefix does not stick "
@@ -138,12 +147,20 @@ def main():
     if args.patch_dim != 1024 or args.text_dim != 768:
         fusion_kw = dict(patch_dim=args.patch_dim, text_dim=args.text_dim,
                          cond_dim=64, ff_dim=128)
+    if args.remat:
+        fusion_kw["remat_layers"] = True
     cfg = variant_config("film_cross_attention", n_genes=args.genes,
                          fusion_kw=fusion_kw)
     cfg = dataclasses.replace(
         cfg,
         output_dir=args.out, run_name="canonical",
         model=dataclasses.replace(cfg.model, compute_dtype=args.dtype),
+        # num_patches follows the generated width: at whole-slide counts
+        # (>256) the run must TRAIN at that width, not subsample back to
+        # the reference's ceiling; bank storage dtype per --store-dtype
+        data=dataclasses.replace(
+            cfg.data, num_patches=args.patches,
+            embedding_store_dtype=args.store_dtype),
         # the r3-validated production training settings (BASELINE.md
         # "Canonical-width training" run 2): per_update conditioning reuse,
         # ε-drift anchor, critic scan, EMA generator

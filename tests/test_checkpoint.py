@@ -3,6 +3,8 @@ the reference lacks entirely (SURVEY.md §5: only final-epoch state_dicts)."""
 
 import os
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -129,3 +131,38 @@ def test_vae_experiment_resume(tmp_path, tiny_data, make_tiny_cfg):
     assert int(a.step) == int(b.step)
     jax.tree.map(lambda x, y: np.testing.assert_array_equal(
         np.asarray(x), np.asarray(y)), a.params, b.params)
+
+
+def test_resolve_ckpt_dir_pins_best_step(tmp_path):
+    """`resolve_ckpt_dir` maps which='best' to the sibling ckpt_best/ and
+    pins the restore step to best.json's record — so a stale higher-step
+    checkpoint left in ckpt_best/ by a previous run can never silently win
+    over the recorded best (ADVICE r4)."""
+    import json
+
+    from gemm_gan_tpu.train.checkpoint import resolve_ckpt_dir
+
+    run = tmp_path / "run"
+    (run / "ckpt").mkdir(parents=True)
+    (run / "ckpt_best").mkdir()
+    (run / "best.json").write_text(json.dumps({"score": 1.0, "epoch": 3,
+                                               "step": 12}))
+    ckpt = str(run / "ckpt")
+
+    assert resolve_ckpt_dir(ckpt, "last") == (ckpt, None)
+    best_dir, step = resolve_ckpt_dir(ckpt, "best")
+    assert best_dir == str(run / "ckpt_best")
+    assert step == 12
+
+    # no best.json: directory still resolves, step stays None (newest wins)
+    (run / "best.json").unlink()
+    assert resolve_ckpt_dir(ckpt, "best") == (str(run / "ckpt_best"), None)
+
+    # missing ckpt_best/ fails loudly with the how-to-fix message
+    import shutil
+
+    shutil.rmtree(run / "ckpt_best")
+    with pytest.raises(FileNotFoundError, match="freq_compute_test"):
+        resolve_ckpt_dir(ckpt, "best")
+    with pytest.raises(ValueError, match="which"):
+        resolve_ckpt_dir(ckpt, "latest")

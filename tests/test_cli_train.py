@@ -237,3 +237,62 @@ def test_cli_train_shard_bank_rejects_vae(tmp_path):
         main(["--variant", "vae", "--data_dir", "/nonexistent",
               "--output_path", str(tmp_path), "--run_name", "x",
               "--shard_bank"])
+
+
+def test_cli_evaluate_auto_best_epoch(tmp_path):
+    """VERDICT r4 #7: with a best.json in the run dir, cli.evaluate defaults
+    to that epoch's dump dirs (pure best-checkpoint evidence) instead of
+    mixing every checkpoint's dumps; --epoch all forces the old behavior."""
+    from gemm_gan_tpu.cli.evaluate import main as eval_main
+    from gemm_gan_tpu.eval.utility import save_run_artifacts
+
+    rng = np.random.RandomState(7)
+    run_dir = str(tmp_path / "res")
+    n, g = 20, 12
+    for epoch in (2, 5):
+        save_run_artifacts(os.path.join(run_dir, f"test_0_epoch_{epoch}"), {
+            "data_real": rng.randn(n, g), "data_gen": rng.randn(n, g),
+            "test_real": rng.randn(n, g), "test_gen": rng.randn(n, g)})
+    with open(os.path.join(run_dir, "best.json"), "w") as f:
+        json.dump({"score": 1.0, "epoch": 2, "step": 8}, f)
+
+    res = eval_main(["--results_path", run_dir, "--skip_utility"])
+    assert [r["dir"] for r in res["per_run"]] == ["test_0_epoch_2"]
+    res_all = eval_main(["--results_path", run_dir, "--skip_utility",
+                         "--epoch", "all"])
+    assert len(res_all["per_run"]) == 2
+    res_5 = eval_main(["--results_path", run_dir, "--skip_utility",
+                       "--epoch", "5"])
+    assert [r["dir"] for r in res_5["per_run"]] == ["test_0_epoch_5"]
+
+
+def test_cli_sample_which_best(data_dir, tmp_path):
+    """VERDICT r4 #8: gemmgan-sample --which best restores the gate-best
+    checkpoint (ckpt_best/ + best.json) with one flag instead of a manual
+    --ckpt_dir edit, and the samples differ from the final checkpoint's
+    (different params restored)."""
+    from gemm_gan_tpu.cli.sample import main as sample_main
+    from gemm_gan_tpu.cli.train import main as train_main
+
+    out = str(tmp_path / "out_wb")
+    # freq 1 < epochs 3 => periodic validation runs => ckpt_best exists
+    train_main(["--variant", "film", "--data_dir", data_dir,
+                "--output_path", out, "--run_name", "wb",
+                "--batch_size", "8", "--epochs", "3", "--latent_dim", "8",
+                "--hidden_dim", "16", "--num_patches", "4",
+                "--freq_compute_test", "1", "--n_critic", "2",
+                "--critic_scan"])
+    run_dir = os.path.join(out, "wb")
+    assert os.path.isdir(os.path.join(run_dir, "ckpt_best"))
+    assert os.path.exists(os.path.join(run_dir, "best.json"))
+    last_path, best_path = str(tmp_path / "l.npy"), str(tmp_path / "b.npy")
+    ckpt = os.path.join(run_dir, "ckpt")
+    sample_main(["--variant", "film", "--data_dir", data_dir,
+                 "--ckpt_dir", ckpt, "--out", last_path])
+    sample_main(["--variant", "film", "--data_dir", data_dir,
+                 "--ckpt_dir", ckpt, "--which", "best", "--out", best_path])
+    last, best = np.load(last_path), np.load(best_path)
+    assert last.shape == best.shape and np.isfinite(best).all()
+    # the best eval lands at epoch 0 or 1 — strictly before the final
+    # step — so the two restores load different params
+    assert not np.array_equal(last, best)

@@ -230,6 +230,183 @@ def test_flagship_conditioning_steers_generation_fast_gate():
     assert aligned < 0.75 * shuffled, (aligned, shuffled)
 
 
+# conditioning inputs each fusion architecture actually consumes
+# (fusion/modules.py; reference: one file per variant, SURVEY.md §2.3)
+_VARIANT_COND = {
+    "concat_text": ("text_emb",),
+    "concat_image": ("patches", "patch_mask"),
+    "attention": ("text_emb", "patches", "patch_mask"),
+    "img_transformer": ("patches", "patch_mask"),
+    "film": ("text_emb", "patches", "patch_mask"),
+    "cross_attention": ("tokens", "token_mask", "patches", "patch_mask"),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(_VARIANT_COND))
+def test_fusion_variant_conditioning_steers_generation(variant):
+    """Per-variant conditional-fidelity gate (VERDICT r4 #3): every fusion
+    architecture of the reference's ablation — not just the label oracle and
+    the flagship — must demonstrably steer generation. The disease label is
+    NEVER an input; it is only recoverable through the class-correlated
+    text/patch embeddings the variant consumes, so above-chance TSTR fails
+    if that variant's fusion ignores its inputs (e.g. a concat encoder
+    reading zeros, an attention block whose output is masked away).
+
+    Same tiny-dims regime as the flagship gate (512 cases, 10 epochs,
+    64 genes, 4 classes, chance 0.25). Calibrated 2026-08-21, TSTR /
+    aligned-vs-shuffled ratio per variant: concat_text 1.000/0.49,
+    concat_image 1.000/0.47, attention 1.000/0.46, img_transformer
+    1.000/0.52, film 1.000/0.47, cross_attention 1.000/0.46 — wide
+    margins over the 0.7 / 0.75 bars. Warm walls 4.5-45 s (concat 5 s,
+    cross_attention 45 s; first-compile adds ~20-80 s each).
+    """
+    n_tr, n_te = 512, 256
+    data = structured_dataset(n_tr + n_te, n_genes=64, rank=8, n_classes=4,
+                              n_sites=3, num_patches=4, patch_dim=8,
+                              num_tokens=4, text_dim=8, seed=7)
+    # text CLS stand-in: the first token embedding (class-correlated by
+    # construction — structured_dataset tokens = center[disease] + noise)
+    data["text_emb"] = data["tokens"][:, 0, :]
+    g = data["genes"]
+    mu, sd = g[:n_tr].mean(0), g[:n_tr].std(0) + 1e-8
+    std = ((g - mu) / sd).astype(np.float32)
+    cond_keys = _VARIANT_COND[variant] + ("disease",)
+    tr = {"genes": std[:n_tr], **{k: data[k][:n_tr] for k in cond_keys}}
+    te_genes, te_y = std[n_tr:], data["disease"][n_tr:]
+
+    cfg = variant_config(variant, n_genes=64,
+                         fusion_kw=dict(cond_dim=32, text_dim=8, patch_dim=8,
+                                        ff_dim=64, num_heads=2, num_layers=1,
+                                        use_pallas=False))
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, batch_size=32, drift_epsilon=1e-3, critic_scan=True))
+    loader = Batches(tr, batch_size=32, seed=0)
+    eng = WGANGPEngine(cfg, steps_per_epoch=loader.n_full_batches)
+    state = eng.init_state(0, next(iter(loader)))
+    for e in range(10):
+        state, _ = eng.step_many(state, loader.stacked_epoch(e))
+    out = eng.generate_samples_all(state, jax.random.key(123),
+                                   Batches(tr, 32, seed=0,
+                                           shuffle=False).epoch(0))
+    tstr = tstr_transfer_accuracy(out["fake"], out["disease"],
+                                  te_genes, te_y)
+    aligned, shuffled = class_mean_alignment(out["fake"], out["disease"],
+                                             te_genes, te_y)
+    assert tstr > 0.7, (variant, tstr)
+    assert aligned < 0.75 * shuffled, (variant, aligned, shuffled)
+
+
+def test_vae_learns_structure_fast_gate():
+    """Statistical acceptance for the VAE baseline (VERDICT r4 #2): its
+    prior samples score above noise — detection falls materially and Γ
+    rises materially from untrained. The reference runs the VAE as a full
+    comparison baseline (/root/reference/src/vae/vanilla_vae.py:424-460);
+    until now our only VAE training test was a finite-loss smoke.
+
+    Gate regime (calibrated 2026-08-21, structured regime 1024 cases x 20
+    epochs, 64 genes): vae_beta=0.1, vae_latent_dim=16, lr 2e-3 — at this
+    tiny budget the reference-default β=1 stays near posterior collapse
+    (Γ ~0.06 at 40 epochs, measured) while β=0.1/latent-16 reaches
+    LR detection 1.000→0.663 and Γ -0.03→0.756. Bars leave wide margins;
+    a noise-emitting or collapsed VAE fails both. ~25 s warm."""
+    import dataclasses as dc
+
+    from gemm_gan_tpu.train.vae import VAEEngine
+
+    n_tr, n_te = 1024, 512
+    data = structured_dataset(n_tr + n_te, n_genes=64, rank=8, n_classes=4,
+                              n_sites=3, num_patches=4, patch_dim=8,
+                              num_tokens=4, text_dim=8, seed=7)
+    g = data["genes"]
+    mu, sd = g[:n_tr].mean(0), g[:n_tr].std(0) + 1e-8
+    std = ((g - mu) / sd).astype(np.float32)
+    tr, te = {"genes": std[:n_tr]}, {"genes": std[n_tr:]}
+    cfg = variant_config("vae", n_genes=64)
+    cfg = dc.replace(
+        cfg,
+        model=dc.replace(cfg.model, vae_latent_dim=16),
+        train=dc.replace(cfg.train, batch_size=32, vae_lr=2e-3,
+                         vae_warmup_epochs=2, vae_beta=0.1))
+    loader = Batches(tr, batch_size=32, seed=0)
+    eng = VAEEngine(cfg, steps_per_epoch=loader.n_full_batches)
+    state = eng.init_state(0, next(iter(loader)))
+
+    def measure(state):
+        k = jax.random.key(99)
+        f_tr = np.asarray(eng.sample(state, k, num=n_tr))
+        f_te = np.asarray(eng.sample(state, jax.random.fold_in(k, 1),
+                                     num=n_te))
+        det = detection(tr["genes"], f_tr, te["genes"], f_te)
+        return (det["LR"]["accuracy"],
+                float(gamma_coef_np(te["genes"], f_te)))
+
+    det0, gamma0 = measure(state)
+    for e in range(20):
+        state, m = eng.step_many(state, loader.stacked_epoch(e))
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+    det1, gamma1 = measure(state)
+    # untrained decoder output is trivially detectable, structure-free
+    assert det0 > 0.95 and abs(gamma0) < 0.3, (det0, gamma0)
+    # trained: LR detection falls materially (calibrated 0.663)
+    assert det1 <= det0 - 0.2 and det1 < 0.85, (det0, det1)
+    # the decoder learned the low-rank gene-gene correlation structure
+    assert gamma1 > 0.4 and gamma1 > gamma0 + 0.4, (gamma0, gamma1)
+
+
+def test_cvae_conditioning_steers_generation_fast_gate():
+    """Conditional-fidelity acceptance for the CVAE baseline (VERDICT r4
+    #2): the same TSTR + class-mean-alignment instruments the GAN gates
+    use. The reference runs the CVAE with n_runs=10 as its conditional
+    baseline (/root/reference/src/vae/cvae.py:330-346,524). Calibrated
+    2026-08-21 (reference-default β=1, latent 64, lr 1e-3, 20 epochs):
+    TSTR 0.229→1.000 (chance 0.25), aligned 0.766 vs shuffled 4.653
+    (ratio 0.16), LR detection 1.000→0.553, Γ 0.565. A condition-blind
+    CVAE fails TSTR and the alignment ratio. ~25 s warm."""
+    import dataclasses as dc
+
+    from gemm_gan_tpu.train.vae import VAEEngine
+
+    n_tr, n_te = 1024, 512
+    data = structured_dataset(n_tr + n_te, n_genes=64, rank=8, n_classes=4,
+                              n_sites=3, num_patches=4, patch_dim=8,
+                              num_tokens=4, text_dim=8, seed=7)
+    g = data["genes"]
+    mu, sd = g[:n_tr].mean(0), g[:n_tr].std(0) + 1e-8
+    std = ((g - mu) / sd).astype(np.float32)
+    tr = {"genes": std[:n_tr], "disease": data["disease"][:n_tr],
+          "site": data["site"][:n_tr]}
+    te_genes, te_y = std[n_tr:], data["disease"][n_tr:]
+    cfg = variant_config("cvae", n_genes=64,
+                         fusion_kw=dict(n_disease_types=4, n_primary_sites=3,
+                                        label_embed_dim=16))
+    cfg = dc.replace(cfg, train=dc.replace(
+        cfg.train, batch_size=32, vae_lr=1e-3, vae_warmup_epochs=2))
+    loader = Batches(tr, batch_size=32, seed=0)
+    eng = VAEEngine(cfg, steps_per_epoch=loader.n_full_batches)
+    state = eng.init_state(0, next(iter(loader)))
+
+    def measure(state):
+        fake = np.asarray(eng.sample(state, jax.random.key(99),
+                                     disease=tr["disease"], site=tr["site"]))
+        tstr = float(np.atleast_1d(tstr_transfer_accuracy(
+            fake, tr["disease"], te_genes, te_y))[0])
+        aligned, shuffled = class_mean_alignment(fake, tr["disease"],
+                                                 te_genes, te_y)
+        return tstr, float(aligned), float(shuffled)
+
+    tstr0, _, _ = measure(state)
+    for e in range(20):
+        state, m = eng.step_many(state, loader.stacked_epoch(e))
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+    tstr1, aligned1, shuffled1 = measure(state)
+    # untrained samples carry no label information (chance 0.25)
+    assert tstr0 < 0.45, tstr0
+    # trained: generated samples carry their condition label
+    assert tstr1 > 0.7 and tstr1 > tstr0 + 0.3, (tstr0, tstr1)
+    # condition-blind generator scores ratio ~1 here (calibrated 0.16)
+    assert aligned1 < 0.5 * shuffled1, (aligned1, shuffled1)
+
+
 @pytest.mark.slow
 def test_training_fools_detection_and_learns_correlation_structure():
     """Strict gate at the original calibration budget (2048 cases, 60 ep)."""
@@ -246,3 +423,52 @@ def test_training_fools_detection_and_learns_correlation_structure():
     assert det1["LR"] < 0.92 and det1["RF"] < 0.88 and det1["MLP"] < 0.99, det1
     assert gamma1 > 0.8, gamma1
     assert gamma1 > gamma0 + 0.5, (gamma0, gamma1)
+
+
+@pytest.mark.slow
+def test_ring_attention_training_to_gates():
+    """Training-to-gates for the sequence-parallel (>32k-patch) path
+    (VERDICT r4 #1): ring attention had step parity but no convergence
+    evidence. Trains the film variant with `fusion.sequence_parallel=True`
+    on a (data=4, model=2) mesh — patches ring over the model axis all the
+    way through WGAN-GP training — and asserts the SAME conditional-fidelity
+    gate the unsharded variants pass (TSTR > 0.7 vs 0.25 chance,
+    aligned < 0.75 x shuffled) — ring training converges like the fused
+    path, not just one step of it. First green 2026-08-21, ~96 s on the
+    8-CPU mesh (slow-marked)."""
+    from gemm_gan_tpu.parallel.mesh import make_mesh
+
+    n_tr, n_te = 512, 256
+    data = structured_dataset(n_tr + n_te, n_genes=64, rank=8, n_classes=4,
+                              n_sites=3, num_patches=8, patch_dim=8,
+                              num_tokens=4, text_dim=8, seed=7)
+    data["text_emb"] = data["tokens"][:, 0, :]
+    g = data["genes"]
+    mu, sd = g[:n_tr].mean(0), g[:n_tr].std(0) + 1e-8
+    std = ((g - mu) / sd).astype(np.float32)
+    cond_keys = ("text_emb", "patches", "patch_mask", "disease")
+    tr = {"genes": std[:n_tr], **{k: data[k][:n_tr] for k in cond_keys}}
+    te_genes, te_y = std[n_tr:], data["disease"][n_tr:]
+
+    cfg = variant_config("film", n_genes=64,
+                         fusion_kw=dict(cond_dim=32, text_dim=8, patch_dim=8,
+                                        ff_dim=64, num_heads=2, num_layers=1,
+                                        use_pallas=False, dropout=0.0,
+                                        sequence_parallel=True))
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, batch_size=32, drift_epsilon=1e-3, critic_scan=True))
+    mesh = make_mesh(data=4, model=2)
+    loader = Batches(tr, batch_size=32, seed=0)
+    eng = WGANGPEngine(cfg, steps_per_epoch=loader.n_full_batches, mesh=mesh)
+    state = eng.init_state(0, next(iter(loader)))
+    for e in range(10):
+        state, _ = eng.step_many(state, loader.stacked_epoch(e))
+    out = eng.generate_samples_all(state, jax.random.key(123),
+                                   Batches(tr, 32, seed=0,
+                                           shuffle=False).epoch(0))
+    tstr = tstr_transfer_accuracy(out["fake"], out["disease"],
+                                  te_genes, te_y)
+    aligned, shuffled = class_mean_alignment(out["fake"], out["disease"],
+                                             te_genes, te_y)
+    assert tstr > 0.7, tstr
+    assert aligned < 0.75 * shuffled, (aligned, shuffled)

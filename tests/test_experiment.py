@@ -168,6 +168,18 @@ def test_best_checkpoint_selection(tmp_path, monkeypatch):
     assert np.isfinite(res_last["gamma_mean"])
     assert glob.glob(os.path.join(exp.out_dir, "test_*_epoch_4"))
 
+    # a FRESH fit into the same out_dir clears the previous run's gate-best
+    # state (ADVICE r4): the rerun's scores all sit BELOW the old 5.0 peak,
+    # so if stale best.json/ckpt_best survived, no save would fire and the
+    # old record would silently win
+    scores.update({0: 0.5, 1: 0.2, 2: 0.1})
+    exp2 = Experiment(cfg, _splits(tiny_data))
+    exp2.fit()
+    with open(os.path.join(exp2.out_dir, "best.json")) as f:
+        best2 = json.load(f)
+    assert best2["eval_epoch"] == 0 and best2["score"] == 0.5
+    assert latest_step(os.path.join(exp2.out_dir, "ckpt_best")) == spe
+
 
 def test_validation_max_cases_caps_train_regen(tmp_path, monkeypatch):
     """`eval.validation_max_cases` caps the TRAIN-side regeneration during

@@ -95,3 +95,62 @@ def test_vae_step_many_matches_sequential(tiny_data, make_tiny_cfg):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), s1.params, s2.params)
+
+
+def test_vae_experiment_gate_best_tracking(tmp_path, tiny_data, make_tiny_cfg):
+    """VERDICT r4 #6: the VAE experiment tracks its lowest-val-ELBO
+    checkpoint symmetrically with the GAN's gate-best protocol — periodic
+    validation writes ckpt_best/ + best.json, `evaluate(which="best")`
+    restores it (step pinned from best.json), and a fresh fit clears stale
+    best state from a reused out_dir."""
+    import dataclasses
+    import json
+    import os
+
+    from gemm_gan_tpu.cli.vae_experiment import VAEExperiment
+
+    idx = {"train": np.arange(0, 32), "val": np.arange(32, 40),
+           "test": np.arange(40, 48)}
+    splits = {s: {"genes": tiny_data["genes"][i]} for s, i in idx.items()}
+
+    def build(epochs):
+        cfg = make_tiny_cfg("vae", train_kw=dict(
+            epochs=epochs, freq_compute_test=2, batch_size=8, vae_lr=3e-3,
+            vae_warmup_epochs=1))
+        cfg = dataclasses.replace(
+            cfg, output_dir=str(tmp_path), run_name="v",
+            eval=dataclasses.replace(cfg.eval, n_runs=1, pca_components=4,
+                                     nearest_k=3))
+        return VAEExperiment(cfg, splits)
+
+    exp = build(6)
+    exp.fit()
+    run_dir = exp.out_dir
+    best_path = os.path.join(run_dir, "best.json")
+    assert os.path.isdir(os.path.join(run_dir, "ckpt_best"))
+    assert os.path.exists(best_path)
+    with open(best_path) as f:
+        best = json.load(f)
+    # evals ran at epochs 1 and 3 (0-indexed; epoch 5 is last, skipped);
+    # best.json records whichever scored lower val ELBO
+    assert best["eval_epoch"] in (1, 3)
+    assert best["val_loss"] == pytest.approx(
+        min(r["loss"] for r in exp.val_metrics_history))
+    assert len(exp.val_metrics_history) == 2
+
+    res = exp.evaluate(which="best")
+    assert np.isfinite(res["gamma_mean"])
+    # dump dirs are named by the restored step's epoch, not train.epochs
+    assert any(p.endswith(f"_epoch_{best['epoch']}")
+               for p in os.listdir(run_dir) if p.startswith("test_"))
+
+    # a stale higher-step checkpoint must not survive a fresh fit: refit
+    # with FEWER epochs into the same out_dir and confirm best.json now
+    # records the short run's only eval (epoch 1 — epoch 3 is last,
+    # skipped), not anything inherited from the 6-epoch run
+    exp2 = build(4)
+    exp2.fit()
+    with open(best_path) as f:
+        best2 = json.load(f)
+    assert best2["eval_epoch"] == 1
+    assert best2["step"] == 2 * 4  # (epoch 1 done) = 2 epochs x 4 batches
