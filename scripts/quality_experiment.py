@@ -201,7 +201,29 @@ def main():
                      for r in exp.val_metrics_history])
 
     best_results = exp.evaluate(which="best")
-    log(event="evaluate_best_done", gamma_best=best_results.get("gamma_mean"))
+
+    def _flat(res):
+        """Compact per-run battery for the log: detection accuracies + the
+        PRDC/realism block of compute_evaluation_metrics (r4 only logged
+        gamma; PRDC/detection had to be recomputed from dumps posthoc)."""
+        runs = res.get("runs") or [{}]
+        r0 = runs[0]
+        out = {}
+        det = r0.get("detection", {})
+        out["detection_acc"] = {k: round(float(v.get("accuracy", float("nan"))), 4)
+                                for k, v in det.items()}
+        m = r0.get("metrics", {})
+        for k, v in m.items():
+            try:
+                f = float(v)  # accepts numpy/jax scalars; dict blocks raise
+            except (TypeError, ValueError):
+                continue
+            if np.isfinite(f):
+                out[k] = round(f, 4)
+        return out
+
+    log(event="evaluate_best_done", gamma_best=best_results.get("gamma_mean"),
+        **_flat(best_results))
 
     # posthoc over the BEST checkpoint's dump dirs only (the run dir also
     # holds fit's final-epoch dumps — both are kept; the epoch filter keeps
