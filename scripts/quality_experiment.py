@@ -53,7 +53,15 @@ def main():
                     help="train.freq_compute_test (validation cadence)")
     ap.add_argument("--n-runs", type=int, default=2)
     ap.add_argument("--ema", type=float, default=0.999)
-    ap.add_argument("--patches", type=int, default=256)
+    ap.add_argument("--patches", type=int, default=256,
+                    help="generated bank width (patches per case on disk)")
+    ap.add_argument("--num-patches", type=int, default=None,
+                    help="train-time patch count (default: --patches). "
+                         "Setting it BELOW --patches reproduces the "
+                         "reference's subsample-to-ceiling behavior "
+                         "(multi_patch_gan_dataloader.py:32-35) on the same "
+                         "bank — the matched-budget control for whole-slide "
+                         "full-width training")
     ap.add_argument("--patch-dim", type=int, default=1024)
     ap.add_argument("--tokens", type=int, default=300)
     ap.add_argument("--text-dim", type=int, default=768)
@@ -155,11 +163,13 @@ def main():
         cfg,
         output_dir=args.out, run_name="canonical",
         model=dataclasses.replace(cfg.model, compute_dtype=args.dtype),
-        # num_patches follows the generated width: at whole-slide counts
-        # (>256) the run must TRAIN at that width, not subsample back to
-        # the reference's ceiling; bank storage dtype per --store-dtype
+        # num_patches follows the generated width unless --num-patches
+        # overrides it: at whole-slide counts (>256) the run trains at full
+        # width by default; the override subsamples the same bank back to
+        # the reference's ceiling (matched-budget control); bank storage
+        # dtype per --store-dtype
         data=dataclasses.replace(
-            cfg.data, num_patches=args.patches,
+            cfg.data, num_patches=(args.num_patches or args.patches),
             embedding_store_dtype=args.store_dtype),
         # the r3-validated production training settings (BASELINE.md
         # "Canonical-width training" run 2): per_update conditioning reuse,
