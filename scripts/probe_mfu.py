@@ -69,7 +69,8 @@ def analytic_gene_dim_flops(n_genes: int, hidden: int, batch: int,
     return n_critic * per_critic + per_gen
 
 
-def build_step(tiny: bool, dtype: str = "float32"):
+def build_step(tiny: bool, dtype: str = "float32", patches: int = None,
+               remat: bool = False):
     import dataclasses
 
     from _flagship import dims_and_fusion_kw
@@ -79,6 +80,10 @@ def build_step(tiny: bool, dtype: str = "float32"):
     from gemm_gan_tpu.train.wgan import WGANGPEngine
 
     dims, fusion_kw = dims_and_fusion_kw(full=not tiny)
+    if patches is not None:
+        dims = dict(dims, n_patches=patches)  # whole-slide FLOP count
+    if remat:
+        fusion_kw = dict(fusion_kw, remat_layers=True)
     fusion_kw = dict(fusion_kw, use_pallas=False)  # countable attention
     cfg = variant_config("film_cross_attention", n_genes=dims["n_genes"],
                          fusion_kw=fusion_kw)
@@ -95,11 +100,13 @@ def build_step(tiny: bool, dtype: str = "float32"):
     return eng, cfg, batch
 
 
-def xla_step_flops(tiny: bool, dtype: str = "float32") -> float:
+def xla_step_flops(tiny: bool, dtype: str = "float32", patches: int = None,
+                   remat: bool = False) -> float:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    eng, cfg, batch = build_step(tiny, dtype=dtype)
+    eng, cfg, batch = build_step(tiny, dtype=dtype, patches=patches,
+                                 remat=remat)
     state = eng.init_state(0, batch)
     step = jax.jit(eng._build_train_step(), donate_argnums=(0,))
     compiled = step.lower(state, batch).compile()
@@ -129,9 +136,15 @@ def main():
                     help="model.compute_dtype of the counted program (the "
                          "FLOP count barely moves; the achieved-TFLOP/s and "
                          "MFU lines are what shift under bf16)")
+    ap.add_argument("--patches", type=int, default=None,
+                    help="override the patch count (whole-slide FLOP count)")
+    ap.add_argument("--remat", action="store_true",
+                    help="fusion.remat_layers=True (the whole-slide config; "
+                         "counted FLOPs include the rematerialized fwd)")
     args = ap.parse_args()
 
-    flops, cfg = xla_step_flops(args.tiny, dtype=args.dtype)
+    flops, cfg = xla_step_flops(args.tiny, dtype=args.dtype,
+                                patches=args.patches, remat=args.remat)
     analytic = analytic_gene_dim_flops(
         cfg.model.n_genes, cfg.model.gen_dims[-1], cfg.train.batch_size,
         cfg.train.n_critic)

@@ -21,7 +21,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_engine(tiny: bool, layout: str = None, dtype: str = "float32"):
+def build_engine(tiny: bool, layout: str = None, dtype: str = "float32",
+                 patches: int = None, remat: bool = False):
     import jax
 
     from gemm_gan_tpu.config import variant_config
@@ -36,6 +37,12 @@ def build_engine(tiny: bool, layout: str = None, dtype: str = "float32"):
     dims, fusion_kw = dims_and_fusion_kw(full=not tiny)
     if layout is not None:
         fusion_kw = dict(fusion_kw, flash_layout=layout)
+    if patches is not None:
+        # whole-slide profile: override the patch count (BASELINE "Whole-
+        # slide quality gate" trains at 4,096); remat mirrors that config
+        dims = dict(dims, n_patches=patches)
+    if remat:
+        fusion_kw = dict(fusion_kw, remat_layers=True)
     n_genes, n_patches, patch_dim, n_tokens, text_dim = (
         dims["n_genes"], dims["n_patches"], dims["patch_dim"],
         dims["n_tokens"], dims["text_dim"])
@@ -73,13 +80,19 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="model.compute_dtype (profile the validated bf16 "
                          "production preset vs the f32 parity default)")
+    ap.add_argument("--patches", type=int, default=None,
+                    help="override the patch count (e.g. 4096: profile the "
+                         "whole-slide regime instead of the canonical 256)")
+    ap.add_argument("--remat", action="store_true",
+                    help="fusion.remat_layers=True (the whole-slide config)")
     ap.add_argument("--out", default="/tmp/gemm_gan_profile")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    eng, batch = build_engine(args.tiny, layout=args.layout, dtype=args.dtype)
+    eng, batch = build_engine(args.tiny, layout=args.layout, dtype=args.dtype,
+                              patches=args.patches, remat=args.remat)
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
     dev_batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
