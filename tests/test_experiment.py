@@ -334,3 +334,41 @@ def test_fit_profile_window_writes_trace(tmp_path):
     agg = aggregate_device_trace(prof_dir)  # raises FileNotFoundError if none
     assert os.path.exists(agg["trace_path"])
     assert "by_source" in agg and "by_category" in agg
+
+
+def test_whole_slide_bank_subsample_path(tmp_path):
+    """The whole-slide product configuration at tiny dims: a patch bank
+    WIDER than `data.num_patches` (on-device per-step subsample — the
+    reference's protocol, multi_patch_gan_dataloader.py:32-35), stored
+    bf16 (`embedding_store_dtype`), with `fusion.remat_layers=True` —
+    exactly the library path the on-chip whole-slide quality runs and
+    their matched-budget control exercise (BASELINE.md "Whole-slide
+    quality gate"). Guards the num_patches/bank-width decoupling through
+    the full Experiment protocol (fit -> test block -> dumps)."""
+    import jax.numpy as jnp
+
+    from tests.conftest import tiny_cfg
+
+    tiny_data = synthetic_dataset(n=48, n_genes=24, n_classes=3, n_sites=2,
+                                  num_patches=16, patch_dim=16, num_tokens=6,
+                                  text_dim=12, seed=1)
+    cfg = tiny_cfg("film", fusion_kw=dict(remat_layers=True),
+                   train_kw=dict(n_critic=2, epochs=2, freq_compute_test=1,
+                                 batch_size=8))
+    cfg = dataclasses.replace(
+        cfg, output_dir=str(tmp_path), run_name="ws",
+        data=dataclasses.replace(cfg.data, num_patches=8,
+                                 embedding_store_dtype="bfloat16"),
+        eval=dataclasses.replace(cfg.eval, n_runs=1, pca_components=4,
+                                 nearest_k=3, on_device_validation=True))
+    exp = Experiment(cfg, _splits(tiny_data))
+    # bank resident at full width in the narrow dtype; batches subsample
+    bank = exp.loaders["train"].arrays["patches"]
+    assert bank.shape[1] == 16 and bank.dtype == jnp.bfloat16
+    batch = next(iter(exp.loaders["train"].epoch(0)))
+    assert batch["patches"].shape[1] == 8
+    assert batch["patches"].dtype == jnp.float32  # re-emerges f32
+    results = exp.fit()
+    assert np.isfinite(results["gamma_mean"])
+    dumps = glob.glob(os.path.join(exp.out_dir, "test_0_epoch_*"))
+    assert dumps and os.path.exists(os.path.join(dumps[0], "data_gen.npy"))
