@@ -183,11 +183,14 @@ def probe_gamma(n=512, genes=18868):
             "seconds": round(sec, 3), "value_sample": round(val, 4)}
 
 
-def probe_sampling_scan(batch_size=64, n_batches=16, num_repeats=2):
+def probe_sampling_scan(batch_size=64, n_batches=16, num_repeats=2,
+                        num_patches=256):
     """Serving throughput over a whole loader, per-call vs scan=True
     (generate_samples_all): same K batches x R repeats, fakes fetched to
     host either way. The scan path runs one lax.map device program with the
-    condition embedding shared across repeats."""
+    condition embedding shared across repeats. `serving_ws` runs the same
+    probe conditioned on whole-slide 4,096-patch inputs (smaller batches:
+    the conditioning alone is 134 MB/batch on device)."""
     import jax
 
     from gemm_gan_tpu.config import variant_config
@@ -202,8 +205,9 @@ def probe_sampling_scan(batch_size=64, n_batches=16, num_repeats=2):
             "genes": rng.randn(batch_size, 18868).astype(np.float32),
             "tokens": rng.randn(batch_size, 300, 768).astype(np.float32),
             "token_mask": np.ones((batch_size, 300), dtype=bool),
-            "patches": rng.randn(batch_size, 256, 1024).astype(np.float32),
-            "patch_mask": np.ones((batch_size, 256), dtype=bool),
+            "patches": rng.randn(batch_size, num_patches,
+                                 1024).astype(np.float32),
+            "patch_mask": np.ones((batch_size, num_patches), dtype=bool),
         }
         batches.append({k: jax.device_put(v) for k, v in b.items()})
     state = eng.init_state(0, batches[0])
@@ -211,7 +215,8 @@ def probe_sampling_scan(batch_size=64, n_batches=16, num_repeats=2):
     n_profiles = batch_size * n_batches * num_repeats
 
     out = {"metric": "serving_profiles_per_sec", "batch": batch_size,
-           "n_batches": n_batches, "num_repeats": num_repeats}
+           "n_batches": n_batches, "num_repeats": num_repeats,
+           "num_patches": num_patches}
     # host-delivery path: full fakes fetched to numpy (transfer-bound over
     # the tunnel — both paths pay the same ~150 MB device->host)
     for label, scan, host_dtype in (
@@ -324,7 +329,9 @@ def probe_validation(n=512, genes=18868, batch=64):
 
 PROBES = {"sampling": probe_sampling, "perstep": probe_perstep,
           "flash": probe_flash, "vit": probe_vit, "gamma": probe_gamma,
-          "serving": probe_sampling_scan, "validation": probe_validation}
+          "serving": probe_sampling_scan, "validation": probe_validation,
+          "serving_ws": lambda: probe_sampling_scan(
+              batch_size=8, n_batches=8, num_repeats=2, num_patches=4096)}
 
 
 def main():
